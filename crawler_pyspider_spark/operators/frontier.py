@@ -1,0 +1,487 @@
+"""Frontier state + scheduler semantics as DataFrame transformations.
+
+The reference keeps per-project in-memory heaps (``scheduler/task_queue.py``)
+and a mutable sqlite taskdb; every decision is record-at-a-time.  Here the
+whole frontier is ONE DataFrame (parquet/Iceberg-snapshot table at scale,
+partitioned by ``host_bucket``) and each scheduler decision is a column
+expression or window rank, so Catalyst/AQE plan the shuffles.
+
+Frontier schema (flat — struct-free for codegen/pruning; FIXTURES.md §5
+shows the struct view used for parity fixtures):
+
+    taskid        string   md5(canonical url)           (X1)
+    project       string
+    url           string   canonical
+    host          string
+    host_bucket   int      pmod(xxhash64(host), B) — pre-bucketed so the
+                           select stage shuffles by int key
+    status        int      1=ACTIVE 2=SUCCESS 3=FAILED 4=BAD
+                           (database/base/taskdb.py:59-63)
+    priority      int
+    retries       int      default 3
+    retried       int
+    exetime       double   epoch-seconds; 0 = immediately ready
+    age           long     -1 = never re-crawl by age
+    itag          string
+    force_update  boolean
+    auto_recrawl  boolean
+    cancel        boolean
+    callback      string
+    lastcrawltime double (nullable)
+    updatetime    double
+    seq           long     deterministic enqueue sequence
+                           (epoch·1e9 + source_rank·1e4 + link_index —
+                            replaces task_queue.py:28-38 AtomInt)
+    lease_expires double (nullable)  in-flight fetch lease (W4)
+
+Status flow reproduces scheduler.py:822-1001 exactly (see each
+function's docstring for the file:line being matched).
+
+All timestamps are parameters (``now``) — no wall-clock inside the
+dataflow, so runs are deterministic and resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# status enum — database/base/taskdb.py:59-63
+ACTIVE, SUCCESS, FAILED, BAD = 1, 2, 3, 4
+
+# scheduler.py:143-149 default_schedule
+DEFAULT_PRIORITY = 0
+DEFAULT_RETRIES = 3
+DEFAULT_AGE = -1
+
+# scheduler.py:156-162 DEFAULT_RETRY_DELAY
+RETRY_DELAYS = [30, 1 * 60 * 60, 6 * 60 * 60, 12 * 60 * 60]
+RETRY_DELAY_DEFAULT = 24 * 60 * 60
+
+# task_queue.py:135 processing_timeout
+LEASE_SECONDS = 10 * 60
+
+LOOP_LIMIT = 1000  # scheduler.py:150
+
+FRONTIER_COLS = [
+    "taskid", "project", "url", "host", "host_bucket", "status",
+    "priority", "retries", "retried", "exetime", "age", "itag",
+    "force_update", "auto_recrawl", "cancel", "callback",
+    "lastcrawltime", "updatetime", "seq", "lease_expires",
+]
+
+
+def empty_frontier(spark) -> DataFrame:
+    schema = (
+        "taskid string, project string, url string, host string,"
+        " host_bucket int, status int, priority int, retries int,"
+        " retried int, exetime double, age long, itag string,"
+        " force_update boolean, auto_recrawl boolean, cancel boolean,"
+        " callback string, lastcrawltime double, updatetime double,"
+        " seq long, lease_expires double"
+    )
+    return spark.createDataFrame([], schema)
+
+
+def normalize_incoming(incoming: DataFrame, now: float) -> DataFrame:
+    """Fill schedule defaults on an incoming request batch.
+
+    Input needs at least (taskid, project, url, host, host_bucket, seq);
+    optional schedule columns get reference defaults
+    (scheduler.py:143-149)."""
+    defaults = {
+        "priority": F.lit(DEFAULT_PRIORITY).cast("int"),
+        "retries": F.lit(DEFAULT_RETRIES).cast("int"),
+        "retried": F.lit(0).cast("int"),
+        "exetime": F.lit(0.0).cast("double"),
+        "age": F.lit(DEFAULT_AGE).cast("long"),
+        "itag": F.lit(None).cast("string"),
+        "force_update": F.lit(False),
+        "auto_recrawl": F.lit(False),
+        "cancel": F.lit(False),
+        "callback": F.lit("index_page"),
+    }
+    out = incoming
+    for name, default in defaults.items():
+        if name not in out.columns:
+            out = out.withColumn(name, default)
+        else:
+            out = out.withColumn(name, F.coalesce(F.col(name), default))
+    out = out.withColumn("status", F.lit(ACTIVE).cast("int"))
+    out = out.withColumn("lastcrawltime", F.lit(None).cast("double"))
+    out = out.withColumn("updatetime", F.lit(float(now)))
+    out = out.withColumn("lease_expires", F.lit(None).cast("double"))
+    return out.select(*FRONTIER_COLS)
+
+
+def dedup_batch(incoming: DataFrame) -> DataFrame:
+    """Within-batch dedup by (project, taskid): first arrival wins unless
+    a later one carries force_update (scheduler.py:388-418 keyed-dict
+    consume; A2).  Deterministic via seq ordering."""
+    w = Window.partitionBy("project", "taskid").orderBy(
+        F.col("force_update").desc(), F.col("seq").asc()
+    )
+    return (
+        incoming.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_inqueue_limit(
+    incoming: DataFrame, frontier: DataFrame, inqueue_limit: int | None
+) -> DataFrame:
+    """Drop arrivals beyond INQUEUE_LIMIT per project (scheduler.py:823-826;
+    F9).  Queue size = ACTIVE rows; admission is seq-ordered so the batch
+    prefix wins, matching the reference's sequential arrival order."""
+    if not inqueue_limit:
+        return incoming
+    qsize = (
+        frontier.filter(F.col("status") == ACTIVE)
+        .groupBy("project")
+        .agg(F.count("*").alias("_qsize"))
+    )
+    w = Window.partitionBy("project").orderBy("seq")
+    return (
+        incoming.join(F.broadcast(qsize), "project", "left")
+        .withColumn("_qsize", F.coalesce(F.col("_qsize"), F.lit(0)))
+        .withColumn("_arn", F.row_number().over(w))
+        .filter(F.col("_arn") <= F.lit(inqueue_limit) - F.col("_qsize"))
+        .drop("_qsize", "_arn")
+    )
+
+
+def merge_incoming(
+    frontier: DataFrame,
+    incoming: DataFrame,
+    now: float,
+    inqueue_limit: int | None = None,
+) -> DataFrame:
+    """The new/old decision table (scheduler.py:822-897; J1 + restart
+    rules), set-at-a-time.
+
+    new task      -> insert ACTIVE (on_new_request :835-847)
+    old task      -> restart iff itag changed | age expired | force_update
+                     (on_old_request :849-877); cancel -> BAD (:877-881);
+                     in-flight + force_update -> postponed (:855-861 —
+                     here: the arrival is simply retried next epoch by
+                     returning it in the deferred output)
+    not restarted -> arrival ignored
+
+    Returns (frontier', deferred) — deferred are postponed force_update
+    arrivals to re-inject next epoch (U4).
+    """
+    inc = dedup_batch(incoming)
+    inc = apply_inqueue_limit(inc, frontier, inqueue_limit)
+
+    old = frontier.select(
+        F.col("project").alias("_o_project"),
+        F.col("taskid").alias("_o_taskid"),
+        F.col("status").alias("_o_status"),
+        F.col("itag").alias("_o_itag"),
+        F.col("lastcrawltime").alias("_o_lastcrawltime"),
+        F.col("lease_expires").alias("_o_lease"),
+    )
+    j = inc.join(
+        old,
+        (inc["project"] == old["_o_project"]) & (inc["taskid"] == old["_o_taskid"]),
+        "left",
+    )
+
+    is_new = F.col("_o_status").isNull()
+    in_flight = F.col("_o_lease").isNotNull() & (F.col("_o_lease") > F.lit(float(now)))
+    postponed = (~is_new) & F.col("force_update") & in_flight
+
+    itag_changed = F.col("itag").isNotNull() & ~F.col("itag").eqNullSafe(F.col("_o_itag"))
+    age_expired = (F.col("age") >= 0) & (
+        F.col("age") + F.coalesce(F.col("_o_lastcrawltime"), F.lit(0.0))
+        < F.lit(float(now))
+    )
+    restart = itag_changed | age_expired | F.col("force_update")
+
+    accepted = j.filter(~postponed & (is_new | restart))
+    deferred = j.filter(postponed).select(*inc.columns)
+
+    changes = (
+        accepted.withColumn(
+            "status",
+            F.when(~is_new & F.col("cancel"), F.lit(BAD)).otherwise(F.lit(ACTIVE)),
+        )
+        # a restart of an in-flight task must not clear the live lease
+        # (reference: task_queue.put is a no-op while the taskid sits in
+        # the processing queue — task_queue.py:226-231)
+        .withColumn("lease_expires", F.col("_o_lease"))
+        .select(*FRONTIER_COLS)
+    )
+
+    merged = upsert(frontier, changes)
+    return merged, deferred
+
+
+def upsert(frontier: DataFrame, changes: DataFrame) -> DataFrame:
+    """Latest-wins MERGE by (project, taskid) — the Iceberg ``MERGE INTO``
+    equivalent (S3).  changes take precedence over existing rows.
+
+    One shuffle over frontier ∪ changes; at 10^10 rows the frontier
+    table is bucketed by taskid hash so this co-partitions (Iceberg
+    bucket transform / storage-partitioned join on a real cluster)."""
+    tagged_old = frontier.withColumn("_prec", F.lit(0))
+    tagged_new = changes.withColumn("_prec", F.lit(1))
+    w = Window.partitionBy("project", "taskid").orderBy(F.col("_prec").desc())
+    return (
+        tagged_old.unionByName(tagged_new)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prec", "_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# select stage: politeness-budgeted priority ranking
+# --------------------------------------------------------------------------
+
+
+def ready_filter(now: float):
+    """Schedulable rows: ACTIVE ∧ exetime arrived ∧ not under a live
+    lease (task_queue.py:169-188 — time queue release F4 + processing
+    timeout F5 in one predicate)."""
+    return (
+        (F.col("status") == ACTIVE)
+        & (F.col("exetime") <= F.lit(float(now)))
+        & (F.col("lease_expires").isNull() | (F.col("lease_expires") <= F.lit(float(now))))
+    )
+
+
+def host_budgets(
+    ready_counts: DataFrame,
+    token_state: DataFrame,
+    politeness: DataFrame,
+    now: float,
+    default_rate: float = 1.0,
+    default_burst: float = 10.0,
+) -> DataFrame:
+    """Token-bucket refill per host (token_bucket.py:15-55, W2):
+    ``tokens = min(burst, tokens + rate·(now - last_update))``;
+    budget this epoch = floor(tokens).
+
+    token_state: (host, tokens, last_update) carried across epochs;
+    hosts seen for the first time start with a full bucket (reference
+    Bucket.__init__ starts at burst)."""
+    pol = politeness.select(
+        F.col("key").alias("host"),
+        F.col("rate").alias("_rate"),
+        F.col("burst").alias("_burst"),
+    )
+    df = (
+        ready_counts.join(token_state, "host", "left")
+        .join(pol, "host", "left")
+        .withColumn("_rate", F.coalesce(F.col("_rate"), F.lit(default_rate)))
+        .withColumn("_burst", F.coalesce(F.col("_burst"), F.lit(default_burst)))
+    )
+    refill = F.least(
+        F.col("_burst"),
+        F.coalesce(F.col("tokens"), F.col("_burst"))
+        + F.col("_rate") * (F.lit(float(now)) - F.coalesce(F.col("last_update"), F.lit(float(now)))),
+    )
+    return df.select(
+        "host",
+        refill.alias("tokens_avail"),
+        F.col("_rate").alias("rate"),
+        F.col("_burst").alias("burst"),
+        F.floor(refill).cast("int").alias("budget"),
+    )
+
+
+def select_batch(
+    frontier: DataFrame,
+    token_state: DataFrame,
+    politeness: DataFrame,
+    now: float,
+    loop_limit: int = LOOP_LIMIT,
+    n_salts: int = 8,
+    salt_threshold: int = 10000,
+) -> tuple[DataFrame, DataFrame]:
+    """Politeness-budgeted, priority-ordered select (W1+W2+W3+W4).
+
+    Ordering per host: priority DESC, seq ASC — task_queue.py:55-66
+    (InQueueTask.__cmp__) + the FIFO-sequence rationale at :190-203.
+
+    Skew handling: hosts whose ready-count exceeds ``salt_threshold``
+    are ranked in two phases (SURVEY.md §4): phase 1 ranks within
+    (host, salt) and keeps the per-salt top-``budget`` (budgets are
+    small — politeness! — so this is cheap), phase 2 re-ranks the
+    survivors per host and keeps exactly ``budget``.  The global
+    top-budget set per host is provably contained in the union of
+    per-salt top-budget sets, so salting never changes the result.
+
+    Per-project fairness (scheduler.py:478-536, W3): quota_p =
+    clamp(loop_limit · qsize_p/Σqsize, loop_limit/10, loop_limit/3)
+    when >1 project, then a global seq-ordered cap at loop_limit.
+
+    Returns (selected, budgets_used) where selected carries the fetch
+    lease (exetime = now + 600 — task_queue.py:227-242) and
+    budgets_used = (host, n_selected, tokens_avail, rate, burst) for the
+    token-state update.
+    """
+    ready = frontier.filter(ready_filter(now))
+
+    counts = ready.groupBy("host").agg(F.count("*").alias("ready_cnt"))
+    budgets = host_budgets(counts, token_state, politeness, now)
+    # budgets/counts have one row per host with ready tasks — much
+    # smaller than the frontier; AQE broadcasts them when they fit,
+    # shuffle-joins otherwise (10^8-host scale), so no explicit hint.
+    ranked_src = ready.join(budgets.select("host", "budget"), "host", "left").withColumn(
+        "_budget", F.coalesce(F.col("budget"), F.lit(0))
+    )
+
+    order = [F.col("priority").desc(), F.col("seq").asc()]
+
+    # phase 1 — salted pre-rank for heavy hosts only
+    ranked_src = ranked_src.join(counts, "host", "left")
+    salted = ranked_src.withColumn(
+        "_salt",
+        F.when(
+            F.col("ready_cnt") > salt_threshold,
+            F.pmod(F.xxhash64("taskid"), F.lit(n_salts)),
+        ).otherwise(F.lit(0)),
+    )
+    w1 = Window.partitionBy("project", "host", "_salt").orderBy(*order)
+    phase1 = salted.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= F.col("_budget")
+    )
+
+    # phase 2 — exact per-host rank over the (small) survivor set
+    w2 = Window.partitionBy("project", "host").orderBy(*order)
+    per_host = phase1.withColumn("_rn2", F.row_number().over(w2)).filter(
+        F.col("_rn2") <= F.col("_budget")
+    )
+
+    # per-project quota (W3) then global LOOP_LIMIT cap (T2)
+    qsizes = ready.groupBy("project").agg(F.count("*").alias("_qsize"))
+    total = qsizes.agg(F.sum("_qsize").alias("_total")).collect()[0]["_total"] or 0
+    nproj = qsizes.count()
+    if nproj > 1 and total > 0:
+        min_q, max_q = int(loop_limit / 10.0), int(loop_limit / 3.0)
+        quota = qsizes.withColumn(
+            "_quota",
+            F.greatest(
+                F.lit(min_q),
+                F.least(
+                    F.lit(max_q),
+                    (F.col("_qsize") / F.lit(float(total)) * loop_limit).cast("int"),
+                ),
+            ),
+        ).select("project", "_quota")
+        wp = Window.partitionBy("project").orderBy(*order)
+        per_host = (
+            per_host.join(F.broadcast(quota), "project", "left")
+            .withColumn("_rnp", F.row_number().over(wp))
+            .filter(F.col("_rnp") <= F.col("_quota"))
+        )
+    wg = Window.partitionBy(F.lit(1)).orderBy(*order)
+    selected = (
+        per_host.withColumn("_rng", F.row_number().over(wg))
+        .filter(F.col("_rng") <= loop_limit)
+        .select(*FRONTIER_COLS)
+        .withColumn("lease_expires", F.lit(float(now + LEASE_SECONDS)))
+    )
+
+    used = (
+        selected.groupBy("host")
+        .agg(F.count("*").alias("n_selected"))
+        .join(budgets, "host", "right")
+        .withColumn("n_selected", F.coalesce(F.col("n_selected"), F.lit(0)))
+        .select("host", "n_selected", "tokens_avail", "rate", "burst")
+    )
+    return selected, used
+
+
+def update_token_state(token_state: DataFrame, used: DataFrame, now: float) -> DataFrame:
+    """tokens' = tokens_avail - n_selected; last_update = now
+    (Bucket.desc per selected task, token_bucket.py:50-55)."""
+    new_rows = used.select(
+        "host",
+        (F.col("tokens_avail") - F.col("n_selected")).alias("tokens"),
+        F.lit(float(now)).alias("last_update"),
+    )
+    keep = token_state.join(used.select("host"), "host", "left_anti")
+    return keep.unionByName(new_rows)
+
+
+def empty_token_state(spark) -> DataFrame:
+    return spark.createDataFrame([], "host string, tokens double, last_update double")
+
+
+# --------------------------------------------------------------------------
+# status stage: done / retry ladder
+# --------------------------------------------------------------------------
+
+
+def apply_status(frontier: DataFrame, statuses: DataFrame, now: float) -> DataFrame:
+    """Fold fetch+process outcomes back into the frontier
+    (on_task_done scheduler.py:924-946 + on_task_failed :948-1001).
+
+    statuses: (project, taskid, ok:boolean) for every task whose lease
+    was taken this epoch.
+
+    done:   status=SUCCESS, lastcrawltime=now; auto_recrawl ∧ age set ->
+            stays ACTIVE with exetime = now + age (W6)
+    failed: retry ladder W5 —
+            next = RETRY_DELAYS[retried] (default 24 h);
+            auto_recrawl ∧ age -> next = min(next, age)
+            else retried ≥ retries -> terminal FAILED
+            else age ≥ 0 ∧ next > age -> next = age
+            retry -> retried+1, exetime = now + next, stays ACTIVE
+    Either way the lease is cleared (task_queue done()/processing pop).
+    """
+    st = statuses.select(
+        F.col("project").alias("_s_project"),
+        F.col("taskid").alias("_s_taskid"),
+        F.col("ok").alias("_ok"),
+    )
+    j = frontier.join(
+        st,
+        (frontier["project"] == st["_s_project"]) & (frontier["taskid"] == st["_s_taskid"]),
+        "inner",
+    )
+
+    nowl = F.lit(float(now))
+    delay_map = F.create_map(
+        *[x for i, d in enumerate(RETRY_DELAYS) for x in (F.lit(i), F.lit(d))]
+    )
+    next_exe_raw = F.coalesce(
+        F.element_at(delay_map, F.col("retried")), F.lit(RETRY_DELAY_DEFAULT)
+    ).cast("double")
+    has_age = F.col("age") >= 0
+    recrawl = F.col("auto_recrawl") & has_age
+
+    next_exe = (
+        F.when(recrawl, F.least(next_exe_raw, F.col("age").cast("double")))
+        .when(F.col("retried") >= F.col("retries"), F.lit(-1.0))
+        .when(has_age & (next_exe_raw > F.col("age")), F.col("age").cast("double"))
+        .otherwise(next_exe_raw)
+    )
+
+    done_status = F.when(recrawl, F.lit(ACTIVE)).otherwise(F.lit(SUCCESS))
+    done_exetime = F.when(recrawl, nowl + F.col("age")).otherwise(F.col("exetime"))
+
+    fail_terminal = next_exe < 0
+    fail_status = F.when(fail_terminal, F.lit(FAILED)).otherwise(F.lit(ACTIVE))
+    fail_exetime = F.when(fail_terminal, F.col("exetime")).otherwise(nowl + next_exe)
+    fail_retried = F.when(fail_terminal, F.col("retried")).otherwise(F.col("retried") + 1)
+
+    changed = (
+        j.withColumn("status", F.when(F.col("_ok"), done_status).otherwise(fail_status))
+        .withColumn("exetime", F.when(F.col("_ok"), done_exetime).otherwise(fail_exetime))
+        .withColumn("retried", F.when(F.col("_ok"), F.col("retried")).otherwise(fail_retried))
+        .withColumn("lastcrawltime", nowl)
+        .withColumn("updatetime", nowl)
+        .withColumn("lease_expires", F.lit(None).cast("double"))
+        .select(*FRONTIER_COLS)
+    )
+    return upsert(frontier, changed)
+
+
+def status_count(frontier: DataFrame) -> DataFrame:
+    """taskdb.status_count (database/sqlite/taskdb.py:86-99; S4/A4)."""
+    return frontier.groupBy("project", "status").agg(F.count("*").alias("cnt"))

@@ -1,0 +1,998 @@
+"""Oracle-checked query battery — the driver contract surface.
+
+Every function here implements one operator family from SURVEY.md §2
+(or a training-data-pipeline op) over the driver's parquet tables
+(region nation customer supplier part orders lineitem events documents
+embeddings) and has a matching ANSI-SQL oracle in ``ORACLE_SQL`` that
+DuckDB runs on the same tables.  Conventions:
+
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded so the value-hash comparison is stable
+  across engines;
+- hash-derived values use md5 (identical hex in Spark and DuckDB);
+  integer conversion = first 15 hex chars -> BIGINT
+  (``F.conv(...,16,10)`` == ``('0x'||substr(md5(x),1,15))::BIGINT``);
+- everything stays JVM-side (built-in functions, whole-stage codegen);
+  the only pandas UDFs in this module are none — even minhash/simhash
+  are expressed with built-in array/bit functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def md5int(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ===========================================================================
+# scheduler-semantics family (SURVEY §2.2-2.6) over events
+# ===========================================================================
+
+
+def q_status_count(spark, sf_dir):
+    """A4/S4 — taskdb.status_count (database/sqlite/taskdb.py:86-99):
+    group-count by a status-like enum column."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("status"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_frontier_rank(spark, sf_dir):
+    """W1 — priority/FIFO ranking (task_queue.py:55-66): top-3 per key
+    by priority DESC, sequence ASC."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("priority"), "rn")
+    )
+
+
+def q_retry_backoff(spark, sf_dir):
+    """W5 — retry ladder CASE math (scheduler.py:948-1001 +
+    DEFAULT_RETRY_DELAY :156-162): next_exetime from retried count,
+    capped by age, terminal -1 past retries."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 6).cast("int").alias("retried"),
+        F.lit(3).alias("retries"),
+        F.when(F.col("user_id") % 2 == 0, F.lit(7200)).otherwise(F.lit(-1)).alias("age"),
+    )
+    ladder = (
+        F.when(F.col("retried") == 0, 30.0)
+        .when(F.col("retried") == 1, 3600.0)
+        .when(F.col("retried") == 2, 6 * 3600.0)
+        .when(F.col("retried") == 3, 12 * 3600.0)
+        .otherwise(24 * 3600.0)
+    )
+    next_exe = (
+        F.when(F.col("retried") >= F.col("retries"), -1.0)
+        .when((F.col("age") >= 0) & (ladder > F.col("age")), F.col("age").cast("double"))
+        .otherwise(ladder)
+    )
+    return e.select("event_id", "retried", "age", next_exe.alias("next_exetime"))
+
+
+def q_queue_merge(spark, sf_dir):
+    """A1 — duplicate-taskid queue merge (task_queue.py:83-95):
+    priority = max, exetime = min per key."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max("value"), 2).alias("max_priority"),
+            F.min("ts").alias("min_exetime"),
+            F.count("*").alias("n_merged"),
+        )
+    )
+
+
+def q_batch_dedup(spark, sf_dir):
+    """A2 — within-batch dedup, first-by-sequence wins
+    (scheduler.py:388-418)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def q_top_k_projects(spark, sf_dir):
+    """A7/T3 — top-5 most-active keys (scheduler.py:579-615)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+def q_windowed_counters(spark, sf_dir):
+    """A6 — time-windowed counters (libs/counter.py:104-258): tumbling
+    1-hour sums/counts per (window, key)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("win_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_select_quota(spark, sf_dir):
+    """A5/W3 — per-project select quota ∝ queue size with clamps
+    (scheduler.py:483-523): quota = clamp(1000·w/Σw, 100, 333)."""
+    e = _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("qsize"))
+    w = Window.partitionBy(F.lit(1))
+    return e.withColumn("total", F.sum("qsize").over(w)).select(
+        "user_id",
+        "qsize",
+        F.greatest(
+            F.lit(100),
+            F.least(
+                F.lit(333),
+                (F.col("qsize").cast("double") / F.col("total") * 1000).cast("int"),
+            ),
+        ).alias("quota"),
+    )
+
+
+def q_inqueue_overflow(spark, sf_dir):
+    """F9 — INQUEUE_LIMIT overflow gate (scheduler.py:823-826): keys
+    under the limit survive."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("qsize"))
+        .filter(F.col("qsize") < 40)
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """J2 — queue-membership anti-join (scheduler.py:404-407): arrivals
+    already in the seen set are dropped."""
+    e = _t(spark, sf_dir, "events")
+    seen = e.filter(F.col("value") > 150).select("event_id")
+    return e.join(seen, "event_id", "left_anti").select("event_id", "user_id", "event_type")
+
+
+def q_new_vs_old(spark, sf_dir):
+    """J1 — new-request vs stored-task left join (scheduler.py:822-833):
+    arrivals outer-joined to prior state, null -> new."""
+    e = _t(spark, sf_dir, "events")
+    old = e.groupBy("user_id").agg(F.round(F.max("value"), 2).alias("old_max"))
+    batch = e.filter(F.col("event_id") % 10 < 3).select("event_id", "user_id", "value")
+    return batch.join(old, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.coalesce("old_max", F.lit(-1.0)).alias("old_max"),
+        F.col("old_max").isNull().alias("is_new"),
+    )
+
+
+def q_config_merge(spark, sf_dir):
+    """J3 — crawl_config broadcast-merge (base_handler.py:228-254):
+    dim attributes joined onto facts, task value wins via coalesce."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "c_custkey",
+            "n_name",
+            "r_name",
+            F.coalesce(F.round("c_acctbal", 2), F.lit(0.0)).alias("acctbal"),
+        )
+    )
+
+
+def q_active_tasks_merge(spark, sf_dir):
+    """J7/T3 — active-task browse: union + global recency top-100
+    (scheduler.py:739-781)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click")
+    b = e.filter(F.col("event_type") == "error")
+    return (
+        a.unionByName(b)
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+# ===========================================================================
+# scalar-function family (SURVEY §2.8)
+# ===========================================================================
+
+
+def q_md5_taskid(spark, sf_dir):
+    """X1 — taskid = md5(url) (libs/utils.py:24, base_handler.py:340-342)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("text")).alias("taskid"))
+    )
+
+
+def q_host_parse(spark, sf_dir):
+    """X4/F7 — host extraction from synthesized urls
+    (tornado_fetcher.py:305-306)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return d.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.md5(F.col("url")).alias("taskid"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """X7 — JSON field decode of nested task fields
+    (database/sqlite/taskdb.py:41-56)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Event-time sessionization (30-min gap) — lag window + cumulative
+    sum; the streaming-state op of §2.9 expressed batch-side."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            ).cast("int"),
+        )
+    )
+    return e.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# ===========================================================================
+# TPC-H-style showcases (pushdown / broadcast / agg plans)
+# ===========================================================================
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — scan+filter+agg, fully
+    codegen'd; the pushdown/codegen showcase of SURVEY §4."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Broadcast-dim star join + agg (orders⋈customer⋈nation)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ===========================================================================
+# training-data pipeline ops (dedup / similarity / text analysis)
+# ===========================================================================
+
+
+def _shingles(col, k: int = 3) -> F.Column:
+    """Word k-shingles as an array of space-joined strings (JVM-side)."""
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )).otherwise(F.array(col))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy: md5(text) -> canonical doc + dup
+    count (the 10^10-scale exact tier of the URL-seen set)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_dups"))
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures: 8 hash families h_j(s) = md5(j|s); signature
+    element = lexicographic-min hex over 3-word shingles; band key =
+    md5(sig[4j]..sig[4j+3]) for LSH bucketing."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _shingles(F.col("text")).alias("sh"))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"mh{j}")
+            for j in range(8)
+        ]
+    )
+    return sigs.select(
+        "doc_id",
+        F.md5(F.concat(*[F.col(f"mh{j}") for j in range(4)])).alias("band0"),
+        F.md5(F.concat(*[F.col(f"mh{j}") for j in range(4, 8)])).alias("band1"),
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs sharing a minhash band (bucket join) —
+    the scale path of near-dup detection (band-join, no O(n²))."""
+    sigs = q_dedup_minhash(spark, sf_dir)
+    b0 = sigs.select("doc_id", F.col("band0").alias("band"))
+    b1 = sigs.select("doc_id", F.col("band1").alias("band"))
+    bands = b0.unionByName(b1)
+    l = bands.select(F.col("doc_id").alias("doc_a"), "band")
+    r = bands.select(F.col("doc_id").alias("doc_b"), "band")
+    return (
+        l.join(r, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit demo width): per word token w, hash = md5int(w);
+    bit b of the fingerprint = majority sign of (±1 per word by bit b)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    d = d.withColumn("h", md5int(F.col("w")))
+    bits = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        F.col("h"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1),
+    )
+    agg = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup: 3-word-shingle overlap join on a
+    bounded id range; jaccard = |∩| / |∪| (rounded)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh"))
+    )
+    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force ANN baseline: integer-quantized dot product against
+    the vec_id=0 query vector, top-10.  Quantization (×1000 -> long)
+    makes the score exactly reproducible across engines; production
+    path swaps the literal for a broadcast query-batch join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long")).alias("q")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("q"),
+                    lambda e, qq: F.round(e * 1000).cast("long") * qq,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    return scored.orderBy(F.desc("dot_q"), F.asc("vec_id")).limit(10)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """LSH-bucketed ANN scale path: sign-random-projection bucket key
+    from 8 deterministic hyperplanes (hash-derived ±1 components), so
+    candidate search is a bucket equi-join instead of O(n²).
+    Output: vec_id -> bucket key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # hyperplane j component i = +1 if md5int(j|i) odd else -1
+    def plane_sign(j):
+        idx = F.sequence(F.lit(0), F.size(F.col("embedding")) - 1)
+        comp = F.transform(
+            idx,
+            lambda i: F.when(
+                md5int(F.concat(F.lit(str(j)), F.lit("|"), i.cast("string"))) % 2 == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), comp, lambda e, c: e.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = sum((plane_sign(j) * (2 ** j) for j in range(8)), F.lit(0))
+    return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-family hit counts -> argmax."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en = hits(["the", "of", "and", "with"])
+    es = hits(["el", "la", "de", "los"])
+    de = hits(["der", "und", "die", "das"])
+    best = F.greatest(en, es, de)
+    guess = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length / punctuation / stopword ratios and a
+    composite score — the doc-filter stage of a training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    toks = F.split(text, " ")
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.translate(text, ".,!?;:", ""))
+    stop = F.array(*[F.lit(w) for w in ["the", "of", "and", "a", "to", "in"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    punct_ratio = F.round(n_punct / n_chars, 4)
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    # composite score in integer milli-units — exact across engines
+    # (float composition rounds differently at .xxxx5 boundaries)
+    score = (
+        F.floor(n_stop * 20000 / n_tokens)
+        + F.least(F.floor(n_chars * 1000 / n_tokens), F.lit(1000).cast("long"))
+        - F.floor(n_punct * 10000 / n_chars)
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_milli"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + regex word tokens (BPE-ish
+    pre-tokenizer proxy)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+"), F.lit(0))).alias(
+            "re_tokens"
+        ),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-hash over 5-word rolling shingles
+    (winnowing-style content signature)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text"), 5).alias("sh")
+    )
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    return ex.groupBy("doc_id").agg(F.min(F.md5(F.col("s"))).alias("fingerprint"))
+
+
+# ===========================================================================
+# crawl-graph reachability (the link-graph op, oracle = recursive CTE)
+# ===========================================================================
+
+REACH_N, REACH_H, REACH_SHOW, REACH_SEEDS, REACH_DEPTH = 1000, 64, 4, 10, 2
+
+
+def q_crawl_reachability(spark, sf_dir):
+    """BFS over the deterministic md5-derived link graph (the synth
+    world of sources/synth.py; model webui/bench_test.py:18-33):
+    which page ids are reachable from seeds {0..9} in ≤2 hops?
+    Spark = iterative join+union+distinct; oracle = recursive CTE."""
+    from crawler_pyspider_spark.sources.synth import url_of
+
+    ids = spark.range(REACH_N).select(F.col("id").alias("src"))
+    ids = ids.withColumn("url", url_of(F.col("src"), REACH_H))
+    ks = F.sequence(F.lit(0), F.lit(REACH_SHOW - 1))
+    edges = ids.select(
+        "src",
+        F.explode(
+            F.transform(
+                ks,
+                lambda k: md5int(F.concat(F.col("url"), F.lit("#"), k.cast("string")))
+                % F.lit(REACH_N),
+            )
+        ).alias("dst"),
+    ).distinct()
+    edges = edges.cache()
+
+    reach = spark.range(REACH_SEEDS).select(F.col("id").alias("node"))
+    for _ in range(REACH_DEPTH):
+        nxt = (
+            reach.join(edges, reach["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+        )
+        reach = reach.unionByName(nxt).distinct()
+    return reach.select(F.col("node").cast("long").alias("node"))
+
+
+# ===========================================================================
+# registry + oracle SQL
+# ===========================================================================
+
+QUERIES = {
+    "status_count": q_status_count,
+    "frontier_rank": q_frontier_rank,
+    "retry_backoff": q_retry_backoff,
+    "queue_merge": q_queue_merge,
+    "batch_dedup": q_batch_dedup,
+    "top_k_projects": q_top_k_projects,
+    "windowed_counters": q_windowed_counters,
+    "select_quota": q_select_quota,
+    "inqueue_overflow": q_inqueue_overflow,
+    "seen_antijoin": q_seen_antijoin,
+    "new_vs_old": q_new_vs_old,
+    "config_merge": q_config_merge,
+    "active_tasks_merge": q_active_tasks_merge,
+    "md5_taskid": q_md5_taskid,
+    "host_parse": q_host_parse,
+    "json_extract": q_json_extract,
+    "sessionize": q_sessionize,
+    "tpch_pricing": q_tpch_pricing,
+    "revenue_by_nation": q_revenue_by_nation,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "crawl_reachability": q_crawl_reachability,
+}
+
+
+ORACLE_SQL = {
+    "status_count": """
+        SELECT event_type AS status, count(*) AS cnt FROM events GROUP BY 1
+    """,
+    "frontier_rank": """
+        SELECT user_id, event_id, round(value, 2) AS priority, rn FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    "retry_backoff": """
+        WITH e AS (
+            SELECT event_id,
+                   CAST(event_id % 6 AS INT) AS retried,
+                   3 AS retries,
+                   CASE WHEN user_id % 2 = 0 THEN 7200 ELSE -1 END AS age
+            FROM events
+        ), l AS (
+            SELECT *, CASE retried WHEN 0 THEN 30.0 WHEN 1 THEN 3600.0
+                                   WHEN 2 THEN 21600.0 WHEN 3 THEN 43200.0
+                                   ELSE 86400.0 END AS ladder
+            FROM e
+        )
+        SELECT event_id, retried, age,
+               CASE WHEN retried >= retries THEN -1.0
+                    WHEN age >= 0 AND ladder > age THEN CAST(age AS DOUBLE)
+                    ELSE ladder END AS next_exetime
+        FROM l
+    """,
+    "queue_merge": """
+        SELECT user_id, round(max(value), 2) AS max_priority,
+               min(ts) AS min_exetime, count(*) AS n_merged
+        FROM events GROUP BY 1
+    """,
+    "batch_dedup": """
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "top_k_projects": """
+        SELECT event_type, count(*) AS cnt FROM events
+        GROUP BY 1 ORDER BY cnt DESC, event_type ASC LIMIT 5
+    """,
+    "windowed_counters": """
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               count(*) AS cnt, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "select_quota": """
+        WITH q AS (SELECT user_id, count(*) AS qsize FROM events GROUP BY 1),
+             t AS (SELECT *, sum(qsize) OVER () AS total FROM q)
+        SELECT user_id, qsize,
+               greatest(100, least(333,
+                   CAST(CAST(qsize AS DOUBLE) / total * 1000 AS INT))) AS quota
+        FROM t
+    """,
+    "inqueue_overflow": """
+        SELECT user_id, count(*) AS qsize FROM events
+        GROUP BY 1 HAVING count(*) < 40
+    """,
+    "seen_antijoin": """
+        SELECT event_id, user_id, event_type FROM events e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events s WHERE s.value > 150 AND s.event_id = e.event_id
+        )
+    """,
+    "new_vs_old": """
+        WITH old AS (SELECT user_id, round(max(value), 2) AS old_max
+                     FROM events GROUP BY 1)
+        SELECT e.event_id, e.user_id, round(e.value, 2) AS value,
+               coalesce(o.old_max, -1.0) AS old_max,
+               o.old_max IS NULL AS is_new
+        FROM events e LEFT JOIN old o USING (user_id)
+        WHERE e.event_id % 10 < 3
+    """,
+    "config_merge": """
+        SELECT c_custkey, n_name, r_name,
+               coalesce(round(c_acctbal, 2), 0.0) AS acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "active_tasks_merge": """
+        SELECT event_id, user_id, event_type, ts FROM events
+        WHERE event_type IN ('click', 'error')
+        ORDER BY ts DESC, event_id ASC LIMIT 100
+    """,
+    "md5_taskid": """
+        SELECT doc_id, md5(text) AS taskid FROM documents
+    """,
+    "host_parse": """
+        WITH d AS (
+            SELECT doc_id,
+                   'http://host' || CAST(doc_id % 7 AS VARCHAR) || '.test/p/'
+                       || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, 'http://([^/]+)/', 1) AS host,
+               md5(url) AS taskid
+        FROM d
+    """,
+    "json_extract": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        FROM events
+    """,
+    "sessionize": """
+        WITH l AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR date_part('epoch', ts) - date_part('epoch', prev_ts) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM l
+        )
+        SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        FROM s GROUP BY 1
+    """,
+    "tpch_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "revenue_by_nation": """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc,
+               count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   min(md5('0' || '|' || s)) AS mh0, min(md5('1' || '|' || s)) AS mh1,
+                   min(md5('2' || '|' || s)) AS mh2, min(md5('3' || '|' || s)) AS mh3,
+                   min(md5('4' || '|' || s)) AS mh4, min(md5('5' || '|' || s)) AS mh5,
+                   min(md5('6' || '|' || s)) AS mh6, min(md5('7' || '|' || s)) AS mh7
+            FROM ex GROUP BY doc_id
+        )
+        SELECT doc_id, md5(mh0 || mh1 || mh2 || mh3) AS band0,
+               md5(mh4 || mh5 || mh6 || mh7) AS band1
+        FROM sig
+    """,
+    "dedup_minhash_pairs": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   min(md5('0' || '|' || s)) AS mh0, min(md5('1' || '|' || s)) AS mh1,
+                   min(md5('2' || '|' || s)) AS mh2, min(md5('3' || '|' || s)) AS mh3,
+                   min(md5('4' || '|' || s)) AS mh4, min(md5('5' || '|' || s)) AS mh5,
+                   min(md5('6' || '|' || s)) AS mh6, min(md5('7' || '|' || s)) AS mh7
+            FROM ex GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, md5(mh0 || mh1 || mh2 || mh3) AS band FROM sig
+            UNION ALL
+            SELECT doc_id, md5(mh4 || mh5 || mh6 || mh7) AS band FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band)
+        WHERE a.doc_id < b.doc_id
+    """,
+    "dedup_simhash": """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+            FROM w
+        ), bits AS (
+            SELECT doc_id, b.b AS b,
+                   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM h, (SELECT unnest(range(0, 16)) AS b) b
+            GROUP BY doc_id, b.b
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE doc_id < 300
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [array_to_string(t, ' ')] END) AS shingles
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM sh
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM ex a JOIN ex b USING (s)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter,
+               round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS q
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id, label,
+               list_sum(list_transform(
+                   list_zip(e.embedding, q.q),
+                   p -> CAST(round(p[1] * 1000) AS BIGINT) * p[2]
+               )) AS dot_q
+        FROM embeddings e, q
+        WHERE vec_id <> 0
+        ORDER BY dot_q DESC, vec_id ASC LIMIT 10
+    """,
+    "lang_id": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ('the','of','and','with'))) AS en_hits,
+                   len(list_filter(toks, x -> x IN ('el','la','de','los'))) AS es_hits,
+                   len(list_filter(toks, x -> x IN ('der','und','die','das'))) AS de_hits
+            FROM t
+        )
+        SELECT doc_id, en_hits, es_hits, de_hits,
+               CASE WHEN greatest(en_hits, es_hits, de_hits) = 0 THEN 'unknown'
+                    WHEN en_hits = greatest(en_hits, es_hits, de_hits) THEN 'en'
+                    WHEN es_hits = greatest(en_hits, es_hits, de_hits) THEN 'es'
+                    ELSE 'de' END AS lang_guess
+        FROM c
+    """,
+    "quality_score": """
+        WITH b AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) - length(replace(replace(replace(replace(replace(replace(
+                       text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''))
+                       AS n_punct,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','of','and','a','to','in'))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+               round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+               (n_stop * 20000) // n_tokens
+                   + least((n_chars * 1000) // n_tokens, 1000)
+                   - (n_punct * 10000) // n_chars AS quality_milli
+        FROM b
+    """,
+    "token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS re_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 5 THEN
+                       list_transform(range(1, len(t) - 3),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                                || t[i+3] || ' ' || t[i+4])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        )
+        SELECT doc_id, min(md5(s)) AS fingerprint
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        GROUP BY doc_id
+    """,
+    "crawl_reachability": f"""
+        WITH RECURSIVE ids AS (
+            SELECT unnest(range({REACH_N})) AS i
+        ), urls AS (
+            SELECT i,
+                   'http://host' || CAST(
+                       {REACH_H} // ((CAST(('0x' || substr(md5('h' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % {REACH_H}) + 1)
+                   AS VARCHAR) || '.test/p/' || CAST(i AS VARCHAR) AS url
+            FROM ids
+        ), edges AS (
+            SELECT DISTINCT i AS src,
+                   CAST(('0x' || substr(md5(url || '#' || CAST(k.k AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {REACH_N} AS dst
+            FROM urls, (SELECT unnest(range({REACH_SHOW})) AS k) k
+        ), reach(node, depth) AS (
+            SELECT unnest(range({REACH_SEEDS})), 0
+            UNION
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.depth < {REACH_DEPTH}
+        )
+        SELECT DISTINCT CAST(node AS BIGINT) AS node FROM reach
+    """,
+}

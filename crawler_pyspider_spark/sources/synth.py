@@ -180,17 +180,22 @@ def gen_seeds(
 
 
 def gen_robots(spark: SparkSession, n_hosts: int = 64) -> DataFrame:
-    """Per-host robots rules: ~5% of hosts disallow the '/p/1' prefix
-    subset, host 7 disallows everything (mirrors the gating the
-    reference applies at ``tornado_fetcher.py:303-338,377-382``)."""
+    """Per-host robots rules: host 2 (and every hid%20==3 host)
+    disallows the '/p/1' prefix subset, host 4 disallows everything
+    (mirrors the gating the reference applies at
+    ``tornado_fetcher.py:303-338,377-382``).
+
+    Hosts 2 and 4 are chosen because the integer-Zipf law
+    ``host = K // (r+1)`` has gaps in its value range; 1/2/4 occur for
+    every power-of-two host count, so the rules always bind."""
     hosts = spark.range(1, n_hosts + 1).select(
         F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
         F.col("id").alias("hid"),
     )
     rules = hosts.withColumn(
         "disallow_prefixes",
-        F.when(F.col("hid") == 7, F.array(F.lit("/")))
-        .when(F.col("hid") % 20 == 3, F.array(F.lit("/p/1")))
+        F.when(F.col("hid") == 4, F.array(F.lit("/")))
+        .when((F.col("hid") == 2) | (F.col("hid") % 20 == 3), F.array(F.lit("/p/1")))
         .otherwise(F.array().cast("array<string>")),
     ).withColumn("fetched_ts", F.to_timestamp(F.lit(BASE_TS)))
     return rules.drop("hid")

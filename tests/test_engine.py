@@ -1,0 +1,185 @@
+"""End-to-end crawl loop + checkpoint/resume + oracle parity.
+
+Covers: the bench crawl (libs/bench.py:256-265 model), url dedup
+(tests/test_fetcher_processor.py:96-105: 5 crawls to 2 distinct urls ->
+2 tasks), robots gating, kill/resume identity, and — the headline
+north-rule check — crawl ordering + URL-seen membership equality
+against the single-threaded python oracle under the same seed list and
+politeness budget.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_pyspider_spark.engine import BENCH_HANDLER, SAMPLE_HANDLER, CrawlEngine
+from crawler_pyspider_spark.operators import frontier as FR
+
+from tests.oracle_frontier import OracleEngine
+
+
+@pytest.fixture
+def wh(tmp_path):
+    p = str(tmp_path / "wh")
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def collect_world(small_world):
+    """Materialize the tiny world driver-side for the oracle."""
+    pages = {
+        r.url: bytes(r.html) for r in small_world["pages"].select("url", "html").collect()
+    }
+    robots = {
+        r.host: list(r.disallow_prefixes)
+        for r in small_world["robots"].collect()
+        if r.disallow_prefixes
+    }
+    politeness = {
+        r.key: (r.rate, r.burst) for r in small_world["politeness"].collect()
+    }
+    seeds = [(r.url, r.priority) for r in small_world["seeds"].collect()]
+    return pages, robots, politeness, seeds
+
+
+class TestCrawlE2E:
+    def test_bench_crawl_progresses_and_dedups(self, spark, small_world, wh):
+        eng = CrawlEngine(
+            spark,
+            small_world["pages"],
+            small_world["robots"],
+            small_world["politeness"],
+            wh,
+            handler=BENCH_HANDLER,
+            loop_limit=100000,
+        )
+        eng.seed(small_world["seeds"])
+        metrics = eng.run(4)
+        # monotone coverage, bounded by world size (dedup works)
+        assert metrics[-1]["frontier_rows"] <= 120 + 5
+        assert metrics[-1]["frontier_rows"] > metrics[0]["frontier_rows"]
+        # every frontier row is unique by taskid
+        n = eng.frontier.count()
+        assert eng.frontier.select("taskid").distinct().count() == n
+
+    def test_five_crawls_two_distinct_urls(self, spark, small_world, wh):
+        """url_deduplicated golden (tests/test_fetcher_processor.py:96-105)."""
+        eng = CrawlEngine(
+            spark,
+            small_world["pages"],
+            small_world["robots"],
+            small_world["politeness"],
+            wh,
+        )
+        urls = [r.url for r in small_world["pages"].select("url").limit(2).collect()]
+        seed_df = spark.createDataFrame(
+            [(u,) for u in [urls[0], urls[1], urls[0], urls[1], urls[0]]],
+            "url string",
+        )
+        eng.seed(seed_df)
+        m = eng.run_epoch()
+        assert m["ingested"] <= 5
+        assert eng.frontier.count() == 2
+
+    def test_robots_denied_host_never_succeeds(self, spark, small_world, wh):
+        eng = CrawlEngine(
+            spark,
+            small_world["pages"],
+            small_world["robots"],
+            small_world["politeness"],
+            wh,
+            loop_limit=100000,
+        )
+        eng.seed(small_world["seeds"])
+        eng.run(4)
+        denied_ok = eng.frontier.filter(
+            (F.col("host") == "host4.test") & (F.col("status") == FR.SUCCESS)
+        ).count()
+        assert denied_ok == 0
+
+    def test_resume_identical_state(self, spark, small_world, wh):
+        kw = dict(loop_limit=100000)
+        eng = CrawlEngine(
+            spark, small_world["pages"], small_world["robots"],
+            small_world["politeness"], wh, **kw,
+        )
+        eng.seed(small_world["seeds"])
+        eng.run(2)
+        del eng
+        resumed = CrawlEngine.resume(
+            spark, small_world["pages"], small_world["robots"],
+            small_world["politeness"], wh, **kw,
+        )
+        assert resumed.epoch == 1
+        m = resumed.run_epoch()
+        assert m["epoch"] == 2
+
+        # compare against an uninterrupted 3-epoch run
+        wh2 = wh + "_cont"
+        cont = CrawlEngine(
+            spark, small_world["pages"], small_world["robots"],
+            small_world["politeness"], wh2, **kw,
+        )
+        cont.seed(small_world["seeds"])
+        cont.run(3)
+        sig = lambda df: sorted(  # noqa: E731
+            (r.taskid, r.status, r.retried, r.exetime)
+            for r in df.select("taskid", "status", "retried", "exetime").collect()
+        )
+        assert sig(resumed.frontier) == sig(cont.frontier)
+
+    def test_sample_handler_emits_results(self, spark, small_world, wh):
+        eng = CrawlEngine(
+            spark, small_world["pages"], small_world["robots"],
+            small_world["politeness"], wh,
+            handler=SAMPLE_HANDLER, loop_limit=100000,
+        )
+        eng.seed(small_world["seeds"], callback="on_start")
+        eng.run(3)
+        res = eng.results_df()
+        assert res is not None and res.count() > 0
+        row = res.limit(1).collect()[0]
+        assert '"title"' in row.result and row.url in row.result
+        # detail_page priority config applied (@config(priority=2))
+        pr = eng.frontier.filter(F.col("callback") == "detail_page").select("priority")
+        assert {r.priority for r in pr.collect()} == {2}
+
+
+class TestOracleParity:
+    def test_crawl_order_and_seen_set_match_oracle(self, spark, small_world, wh):
+        """North-rule check: selected order per epoch + final URL-seen
+        membership equal to the reference-semantics oracle under the
+        same seeds + politeness budget."""
+        from crawler_pyspider_spark.sources import synth
+
+        pol = synth.gen_politeness(spark, 8, rate=2.0, burst=6.0)
+        eng = CrawlEngine(
+            spark, small_world["pages"], small_world["robots"], pol, wh,
+            handler=BENCH_HANDLER, loop_limit=1000,
+        )
+        eng.seed(small_world["seeds"])
+
+        pages, robots, politeness, seeds = collect_world(small_world)
+        politeness = {h: (2.0, 6.0) for h in politeness}
+        oracle = OracleEngine(
+            pages=pages, robots=robots, politeness=politeness,
+            handler=BENCH_HANDLER, loop_limit=1000,
+            default_rate=2.0, default_burst=6.0,
+        )
+        oracle.seed(seeds)
+
+        for epoch in range(5):
+            eng.run_epoch()
+            oracle.run_epoch()
+            sel_engine = [
+                r.url
+                for r in spark.read.parquet(f"{wh}/frontier/epoch={epoch}")
+                .filter(F.col("lastcrawltime") == eng.now(epoch))
+                .orderBy(F.desc("priority"), F.asc("seq"))
+                .collect()
+            ]
+            assert sel_engine == oracle.selected_log[epoch], f"epoch {epoch}"
+
+        seen_engine = {r.url for r in eng.frontier.select("url").collect()}
+        assert seen_engine == oracle.seen_urls()

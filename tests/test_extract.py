@@ -1,0 +1,123 @@
+"""HTML decode + extraction semantics.
+
+Ports the contract of ``pyspider/libs/response.py:61-126`` (encoding
+sniff, gb2312→gb18030 upgrade, utf-8 fallback, decode-with-replace) and
+the link-extraction golden of ``tests/test_processor.py:357-399``
+(anchors absolutized, percent-quoted, deduped downstream).
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawler_pyspider_spark.functions.extract import (
+    decode_html,
+    detect_encoding,
+    extract_links_py,
+    extract_title_py,
+    parse_page,
+)
+from crawler_pyspider_spark.functions.urls import canonicalize_url_py
+
+
+class TestEncoding:
+    def test_meta_charset(self):
+        assert detect_encoding(b'<meta charset="gbk">') == "gbk"
+
+    def test_pragma(self):
+        b = b'<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+        assert detect_encoding(b) == "iso-8859-1"
+
+    def test_xml_decl(self):
+        assert detect_encoding(b"<?xml version='1.0' encoding='utf-16'?>") == "utf-16"
+
+    def test_gb2312_upgraded(self):
+        assert detect_encoding(b'<meta charset="gb2312">') == "gb18030"
+
+    def test_default_utf8(self):
+        assert detect_encoding(b"<html>plain</html>") == "utf-8"
+
+    def test_content_type_wins(self):
+        assert detect_encoding(b'<meta charset="gbk">', "text/html; charset=big5") == "big5"
+
+    def test_decode_gb18030_body(self):
+        body = '<meta charset="gb2312"><p>中文</p>'.encode("gb18030")
+        assert decode_html(body) == '<meta charset="gb2312"><p>中文</p>'
+
+    def test_decode_unknown_codec_falls_back(self):
+        body = b'<meta charset="no-such-codec">hello'
+        assert "hello" in decode_html(body)
+
+    def test_decode_bad_bytes_replace(self):
+        out = decode_html(b"ok\xff\xfe")
+        assert out.startswith("ok") and "�" in out
+
+    def test_empty(self):
+        assert decode_html(b"") == ""
+
+
+class TestLinks:
+    def test_absolutize_and_filter(self):
+        html = (
+            "<a href='http://b.test/x'>a</a>"
+            "<a href=\"/rel\">b</a>"
+            "<a href=ftp://c.test/f>c</a>"
+            "<a href='#frag'>d</a>"
+        )
+        links = extract_links_py(html, "http://a.test/p/1")
+        assert links == ["http://b.test/x", "http://a.test/rel", "http://a.test/p/1#frag"]
+
+    def test_processor_golden_four_to_three(self):
+        """Reference golden (tests/test_processor.py:357-399): 4 anchors ->
+        3 distinct follow urls after absolutize + quote + dedup."""
+        html = (
+            "<a href='http://a.test/1'>x</a>"
+            "<a href='/1'>same-after-abs</a>"
+            "<a href='http://a.test/2'>y</a>"
+            "<a href='http://a.test/中'>z</a>"
+        )
+        links = extract_links_py(html, "http://a.test/")
+        canon = {canonicalize_url_py(u) for u in links}
+        assert canon == {
+            "http://a.test/1",
+            "http://a.test/2",
+            "http://a.test/%E4%B8%AD",
+        }
+
+    def test_title(self):
+        assert extract_title_py("<html><title> T </title></html>") == "T"
+        assert extract_title_py("<html></html>") is None
+
+
+class TestParsePageUDF:
+    def test_struct_output(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("http://a.test/", b"<title>t1</title><a href='/x'>l</a>"),
+                ("http://b.test/", '<meta charset="gb2312"><title>中</title>'.encode("gb18030")),
+            ],
+            "url string, html binary",
+        )
+        rows = (
+            df.withColumn("p", parse_page(F.col("url"), F.col("html")))
+            .select("url", "p.*")
+            .orderBy("url")
+            .collect()
+        )
+        assert rows[0].title == "t1"
+        assert rows[0].links == ["http://a.test/x"]
+        assert rows[1].title == "中"
+        assert rows[1].links == []
+
+    def test_byte_identical_text_vs_python(self, spark, small_world):
+        """Engine-extracted text == stored oracle text column for every
+        page, including the gb18030 / relative-href / CJK variants
+        (BASELINE.json input_hint: byte-identical extracted text)."""
+        pages = small_world["pages"]
+        out = pages.withColumn("p", parse_page(F.col("url"), F.col("html"))).select(
+            "url", "text", F.col("p.text").alias("engine_text"), "html"
+        )
+        mismatch = out.filter(F.col("text") != F.col("engine_text")).count()
+        assert mismatch == 0
+        # and independently vs a driver-side python decode
+        for r in out.limit(20).collect():
+            assert r.engine_text == decode_html(bytes(r.html))
