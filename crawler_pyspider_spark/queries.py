@@ -135,10 +135,14 @@ def q_windowed_counters(spark, sf_dir):
 
 def q_select_quota(spark, sf_dir):
     """A5/W3 — per-project select quota ∝ queue size with clamps
-    (scheduler.py:483-523): quota = clamp(1000·w/Σw, 100, 333)."""
+    (scheduler.py:483-523): quota = clamp(1000·w/Σw, 100, 333).
+
+    The grand total is a scalar aggregate broadcast back onto the
+    per-key rows — NOT a global window (which would sort every row in
+    one partition; WindowExec warns about exactly that)."""
     e = _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("qsize"))
-    w = Window.partitionBy(F.lit(1))
-    return e.withColumn("total", F.sum("qsize").over(w)).select(
+    tot = e.agg(F.sum("qsize").alias("total"))
+    return e.crossJoin(F.broadcast(tot)).select(
         "user_id",
         "qsize",
         F.greatest(
@@ -152,13 +156,14 @@ def q_select_quota(spark, sf_dir):
 
 
 def q_inqueue_overflow(spark, sf_dir):
-    """F9 — INQUEUE_LIMIT overflow gate (scheduler.py:823-826): keys
-    under the limit survive."""
+    """F9 — INQUEUE_LIMIT overflow gate (scheduler.py:823-826): queues
+    under the limit admit new tasks, the rest drop them.  Keyed by
+    (user_id, event_type) so the limit actually splits the groups."""
     return (
         _t(spark, sf_dir, "events")
-        .groupBy("user_id")
+        .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("qsize"))
-        .filter(F.col("qsize") < 40)
+        .filter(F.col("qsize") < 14)
     )
 
 
@@ -614,6 +619,286 @@ def q_crawl_reachability(spark, sf_dir):
 
 
 # ===========================================================================
+# scheduler semantics round 2 — token bucket / leases / restart table /
+# pause streaks / cron / export (SURVEY §2.2, §2.4, §2.5, §2.9)
+# ===========================================================================
+
+# fixed "now" instants for the time-parameterised predicates (UTC);
+# mid-January = inside the events table's ts range
+NOW_LEASE = 1705276800.0  # 2024-01-15T00:00:00Z
+NOW_RESTART = 1705708800.0  # 2024-01-20T00:00:00Z
+
+
+def q_token_bucket(spark, sf_dir):
+    """W2 — token-bucket refill math (scheduler/token_bucket.py:15-55):
+    tokens' = min(burst, tokens + rate·Δt); budget = floor(tokens').
+    Pure column arithmetic — the politeness budget is computed for every
+    host in one codegen'd projection, no shuffle at all."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 5 + 1).cast("double").alias("rate"),
+        ((F.col("event_id") % 5 + 1) * 10).cast("double").alias("burst"),
+        (F.col("value") % 10).alias("tokens"),
+        (F.col("event_id") % 20).cast("double").alias("dt"),
+    )
+    refill = F.least(F.col("burst"), F.col("tokens") + F.col("rate") * F.col("dt"))
+    return e.select(
+        "event_id",
+        F.round(refill, 2).alias("tokens_avail"),
+        F.floor(refill).cast("long").alias("budget"),
+    )
+
+
+def q_lease_release(spark, sf_dir):
+    """F4+F5 — time-queue release + processing-lease expiry in one
+    predicate (task_queue.py:169-188): a task is schedulable iff its
+    exetime has arrived AND any fetch lease has expired."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_timestamp("ts").cast("double").alias("exetime"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.unix_timestamp("ts").cast("double") + 600.0,
+        ).alias("lease_expires"),
+    )
+    now = F.lit(NOW_LEASE)
+    ready = (
+        (F.col("exetime") <= now)
+        & (F.col("lease_expires").isNull() | (F.col("lease_expires") <= now))
+    )
+    return e.select("event_id", "exetime", ready.alias("ready"))
+
+
+def q_restart_decision(spark, sf_dir):
+    """J1 restart rules — the on_old_request decision table
+    (scheduler.py:849-897): restart iff itag changed OR age expired OR
+    force_update.  The same CASE logic merge_incoming applies inside the
+    engine (operators/frontier.py)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit("v2")).otherwise(F.lit("v1")).alias("itag_new"),
+        F.lit("v1").alias("itag_old"),
+        F.when(F.col("user_id") % 2 == 0, F.lit(3600)).otherwise(F.lit(-1)).alias("age"),
+        F.unix_timestamp("ts").cast("double").alias("lastcrawltime"),
+        (F.col("event_id") % 7 == 0).alias("force_update"),
+    )
+    itag_changed = F.col("itag_new").isNotNull() & (F.col("itag_new") != F.col("itag_old"))
+    age_expired = (F.col("age") >= 0) & (
+        F.col("lastcrawltime") + F.col("age") < F.lit(NOW_RESTART)
+    )
+    return e.select(
+        "event_id",
+        itag_changed.alias("itag_changed"),
+        age_expired.alias("age_expired"),
+        "force_update",
+        (itag_changed | age_expired | F.col("force_update")).alias("restart"),
+    )
+
+
+def q_fail_streak(spark, sf_dir):
+    """A10 — pause-state failure streak (scheduler.py:52-103,
+    FAIL_PAUSE_NUM): length of the run of consecutive failures among the
+    last 10 events per key; >= threshold would pause the project."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    last10 = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .withColumn("is_fail", (F.col("event_type") == "error").cast("int"))
+    )
+    return last10.groupBy("user_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("is_fail") == 0, F.col("rn"))) - 1, F.count("*")
+        ).cast("long").alias("fail_streak"),
+        (
+            F.coalesce(
+                F.min(F.when(F.col("is_fail") == 0, F.col("rn"))) - 1, F.count("*")
+            ) >= 3
+        ).alias("would_pause"),
+    )
+
+
+def q_cron_due(spark, sf_dir):
+    """W7 — @every cron tick gating (scheduler.py:420-450,
+    base_handler.py:69-120): callback is due when tick % interval == 0."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, 60)
+        .when(F.col("user_id") % 3 == 1, 300)
+        .otherwise(900)
+        .alias("interval"),
+        (F.col("event_id") % 1800).alias("tick"),
+    )
+    return e.select(
+        "event_id", "interval", "tick", (F.col("tick") % F.col("interval") == 0).alias("due")
+    )
+
+
+def q_common_fields(spark, sf_dir):
+    """A9/S10 — result-export common fields (libs/result_dump.py:16-43):
+    the set of JSON keys present in EVERY result row of a group becomes
+    the CSV header.  Set-intersection as key-count == group-count."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "props2",
+        F.concat(
+            F.lit('{"a": 1'),
+            F.when(F.col("event_id") % 2 == 0, F.lit(', "b": 2')).otherwise(F.lit("")),
+            F.when(F.col("event_id") % 3 == 0, F.lit(', "c": 3')).otherwise(F.lit("")),
+            F.lit("}"),
+        ),
+    )
+    totals = e.groupBy("event_type").agg(F.count("*").alias("n_rows"))
+    keys = e.select(
+        "event_type", F.explode(F.expr("json_object_keys(props2)")).alias("key")
+    )
+    per_key = keys.groupBy("event_type", "key").agg(F.count("*").alias("n_with_key"))
+    return (
+        per_key.join(F.broadcast(totals), "event_type")
+        .filter(F.col("n_with_key") == F.col("n_rows"))
+        .select("event_type", "key")
+    )
+
+
+# ===========================================================================
+# crawl-operator parity checks (the real engine UDFs/operators vs
+# constructed oracles) — F7/F8/X6
+# ===========================================================================
+
+
+def q_url_canon(spark, sf_dir):
+    """F7/X2 — the engine's canonicalize_url pandas UDF (functions/
+    urls.py; semantics of libs/url.py:29-70) over four synthesized messy
+    variants: plain / missing path / uppercase host / non-ASCII path.
+    The oracle constructs the expected canonical form directly.  Note
+    the IDNA codec passes pure-ASCII netlocs through case-preserved
+    (only non-ASCII hosts are nameprepped) — reference-identical."""
+    from crawler_pyspider_spark.functions.urls import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    n = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("http://host"), k, F.lit(".test/p/"), n),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("http://host"), k, F.lit(".test")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("http://Host"), k, F.lit(".TEST/p/"), n),
+        )
+        .otherwise(F.concat(F.lit("http://host"), k, F.lit(".test/p/"), n, F.lit("/中文")))
+    )
+    return d.withColumn("url", url).select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canon")
+    )
+
+
+def q_robots_filter(spark, sf_dir):
+    """F8/J6 — the engine's robots_gate operator (operators/robots.py;
+    semantics of tornado_fetcher.py:303-338): broadcast rules join +
+    JVM-side prefix predicate.  host4 disallows everything, host2
+    disallows the /p/1 prefix."""
+    from crawler_pyspider_spark.operators.robots import robots_gate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    tasks = d.withColumn(
+        "url",
+        F.concat(F.lit("http://host"), k, F.lit(".test/p/"), F.col("doc_id").cast("string")),
+    ).withColumn("host", F.concat(F.lit("host"), k, F.lit(".test")))
+    rules = spark.range(7).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.when(F.col("id") == 4, F.array(F.lit("/")))
+        .when(F.col("id") == 2, F.array(F.lit("/p/1")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow_prefixes"),
+    )
+    return robots_gate(tasks, rules).select("doc_id", "url", "robots_allowed")
+
+
+def q_link_extract(spark, sf_dir):
+    """X6 — the engine's one-pass parse_page pandas UDF (functions/
+    extract.py; semantics of response.py:139-163 + make_links_absolute):
+    title + document-order links, relative hrefs absolutized against the
+    page URL.  Oracle constructs the expected output directly."""
+    from crawler_pyspider_spark.functions.extract import parse_page
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    n = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://host"), k, F.lit(".test/p/"), n)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), n,
+        F.lit("</title></head><body><a href=\"http://ext.test/e/"), n,
+        F.lit("\">x</a><a href='/rel/"), n,
+        F.lit("'>r</a></body></html>"),
+    )
+    parsed = d.withColumn("url", base).withColumn(
+        "_p", parse_page(F.col("url"), F.encode(html, "utf-8"))
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("_p.title").alias("title"),
+        F.posexplode(F.col("_p.links")).alias("link_idx", "link"),
+    ).select("doc_id", "title", "link_idx", "link")
+
+
+# ===========================================================================
+# embedding near-dup + multimodal binary plumbing
+# ===========================================================================
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: integer-quantized (×100) dot and
+    squared norms so cos ≥ 0.3 becomes exact int64 math
+    (dot² · 10⁴ ≥ 900 · |a|² · |b|²) — bit-identical across engines.
+    Scale path: replace the O(n²) pair join with the LSH buckets of
+    q_ann_lsh_buckets and join within buckets only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x * 100).cast("long")).alias("q"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    )
+    a = qv.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("n2").alias("na2"))
+    b = qv.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("n2").alias("nb2"))
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb")).withColumn(
+        "dot",
+        F.aggregate(
+            F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return pairs.filter(
+        (F.col("dot") > 0)
+        & (F.col("dot") * F.col("dot") * 10000 >= F.lit(900) * F.col("na2") * F.col("nb2"))
+    ).select("va", "vb", "dot")
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing: opaque ``binary`` payload +
+    typed metadata (byte size, head hex, deterministic frame-sample
+    offsets) — the schema/partitioning shape of an image/audio pipeline;
+    real decode lives in functions/multimodal.py behind a stub."""
+    d = _t(spark, sf_dir, "documents").withColumn("data", F.encode(F.col("text"), "utf-8"))
+    n = F.length(F.col("data"))
+    return d.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        F.substring(F.hex(F.col("data")), 1, 16).alias("head_hex"),
+        (n / 4).cast("long").alias("frame1"),
+        (n / 2).cast("long").alias("frame2"),
+        (n * 3 / 4).cast("long").alias("frame3"),
+    )
+
+
+# ===========================================================================
 # registry + oracle SQL
 # ===========================================================================
 
@@ -649,6 +934,17 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "crawl_reachability": q_crawl_reachability,
+    "token_bucket": q_token_bucket,
+    "lease_release": q_lease_release,
+    "restart_decision": q_restart_decision,
+    "fail_streak": q_fail_streak,
+    "cron_due": q_cron_due,
+    "common_fields": q_common_fields,
+    "url_canon": q_url_canon,
+    "robots_filter": q_robots_filter,
+    "link_extract": q_link_extract,
+    "dedup_embedding": q_dedup_embedding,
+    "binary_meta": q_binary_meta,
 }
 
 
@@ -714,8 +1010,8 @@ ORACLE_SQL = {
         FROM t
     """,
     "inqueue_overflow": """
-        SELECT user_id, count(*) AS qsize FROM events
-        GROUP BY 1 HAVING count(*) < 40
+        SELECT user_id, event_type, count(*) AS qsize FROM events
+        GROUP BY 1, 2 HAVING count(*) < 14
     """,
     "seen_antijoin": """
         SELECT event_id, user_id, event_type FROM events e
@@ -994,5 +1290,172 @@ ORACLE_SQL = {
             WHERE r.depth < {REACH_DEPTH}
         )
         SELECT DISTINCT CAST(node AS BIGINT) AS node FROM reach
+    """,
+    "token_bucket": """
+        WITH e AS (
+            SELECT event_id,
+                   CAST(event_id % 5 + 1 AS DOUBLE) AS rate,
+                   CAST((event_id % 5 + 1) * 10 AS DOUBLE) AS burst,
+                   value % 10 AS tokens,
+                   CAST(event_id % 20 AS DOUBLE) AS dt
+            FROM events
+        )
+        SELECT event_id,
+               round(least(burst, tokens + rate * dt), 2) AS tokens_avail,
+               CAST(floor(least(burst, tokens + rate * dt)) AS BIGINT) AS budget
+        FROM e
+    """,
+    "lease_release": """
+        WITH e AS (
+            SELECT event_id,
+                   floor(date_part('epoch', ts)) AS exetime,
+                   CASE WHEN event_id % 5 = 0
+                        THEN floor(date_part('epoch', ts)) + 600.0 END AS lease_expires
+            FROM events
+        )
+        SELECT event_id, CAST(exetime AS DOUBLE) AS exetime,
+               (exetime <= 1705276800.0
+                AND (lease_expires IS NULL OR lease_expires <= 1705276800.0)) AS ready
+        FROM e
+    """,
+    "restart_decision": """
+        WITH e AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS itag_new,
+                   'v1' AS itag_old,
+                   CASE WHEN user_id % 2 = 0 THEN 3600 ELSE -1 END AS age,
+                   floor(date_part('epoch', ts)) AS lastcrawltime,
+                   event_id % 7 = 0 AS force_update
+            FROM events
+        )
+        SELECT event_id,
+               itag_new IS NOT NULL AND itag_new <> itag_old AS itag_changed,
+               age >= 0 AND lastcrawltime + age < 1705708800.0 AS age_expired,
+               force_update,
+               (itag_new IS NOT NULL AND itag_new <> itag_old)
+                   OR (age >= 0 AND lastcrawltime + age < 1705708800.0)
+                   OR force_update AS restart
+        FROM e
+    """,
+    "fail_streak": """
+        WITH r AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events
+        ), last10 AS (
+            SELECT user_id, rn,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_fail
+            FROM r WHERE rn <= 10
+        )
+        SELECT user_id,
+               CAST(coalesce(min(CASE WHEN is_fail = 0 THEN rn END) - 1,
+                             count(*)) AS BIGINT) AS fail_streak,
+               coalesce(min(CASE WHEN is_fail = 0 THEN rn END) - 1,
+                        count(*)) >= 3 AS would_pause
+        FROM last10 GROUP BY user_id
+    """,
+    "cron_due": """
+        SELECT event_id,
+               CASE WHEN user_id % 3 = 0 THEN 60
+                    WHEN user_id % 3 = 1 THEN 300 ELSE 900 END AS interval,
+               event_id % 1800 AS tick,
+               (event_id % 1800) % (CASE WHEN user_id % 3 = 0 THEN 60
+                    WHEN user_id % 3 = 1 THEN 300 ELSE 900 END) = 0 AS due
+        FROM events
+    """,
+    "common_fields": """
+        WITH e AS (
+            SELECT event_id, event_type,
+                   '{"a": 1'
+                       || CASE WHEN event_id % 2 = 0 THEN ', "b": 2' ELSE '' END
+                       || CASE WHEN event_id % 3 = 0 THEN ', "c": 3' ELSE '' END
+                       || '}' AS props2
+            FROM events
+        ), totals AS (
+            SELECT event_type, count(*) AS n_rows FROM e GROUP BY 1
+        ), ks AS (
+            SELECT event_type, unnest(json_keys(props2)) AS key FROM e
+        ), per_key AS (
+            SELECT event_type, key, count(*) AS n_with_key FROM ks GROUP BY 1, 2
+        )
+        SELECT p.event_type, p.key
+        FROM per_key p JOIN totals t USING (event_type)
+        WHERE p.n_with_key = t.n_rows
+    """,
+    "url_canon": """
+        WITH d AS (
+            SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k,
+                   CAST(doc_id AS VARCHAR) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'http://host' || k || '.test/p/' || n
+                    WHEN doc_id % 4 = 1 THEN 'http://host' || k || '.test'
+                    WHEN doc_id % 4 = 2 THEN 'http://Host' || k || '.TEST/p/' || n
+                    ELSE 'http://host' || k || '.test/p/' || n || '/中文'
+               END AS url,
+               CASE WHEN doc_id % 4 = 0 THEN 'http://host' || k || '.test/p/' || n
+                    WHEN doc_id % 4 = 1 THEN 'http://host' || k || '.test/'
+                    WHEN doc_id % 4 = 2 THEN 'http://Host' || k || '.TEST/p/' || n
+                    ELSE 'http://host' || k || '.test/p/' || n || '/%E4%B8%AD%E6%96%87'
+               END AS canon
+        FROM d
+    """,
+    "robots_filter": """
+        SELECT doc_id,
+               'http://host' || CAST(doc_id % 7 AS VARCHAR) || '.test/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 7 = 4 THEN false
+                    WHEN doc_id % 7 = 2
+                         AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN false
+                    ELSE true END AS robots_allowed
+        FROM documents
+    """,
+    "link_extract": """
+        WITH d AS (
+            SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k,
+                   CAST(doc_id AS VARCHAR) AS n
+            FROM documents
+        )
+        SELECT doc_id, 'Doc ' || n AS title, 0 AS link_idx,
+               'http://ext.test/e/' || n AS link
+        FROM d
+        UNION ALL
+        SELECT doc_id, 'Doc ' || n AS title, 1 AS link_idx,
+               'http://host' || k || '.test/rel/' || n AS link
+        FROM d
+    """,
+    "dedup_embedding": """
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 100) AS BIGINT)) AS q
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, q,
+                   list_sum(list_transform(q, x -> x * x)) AS n2
+            FROM qv
+        ), p AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   list_sum(list_transform(list_zip(a.q, b.q),
+                       t -> t[1] * t[2])) AS dot,
+                   a.n2 AS na2, b.n2 AS nb2
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT va, vb, dot FROM p
+        WHERE dot > 0 AND dot * dot * 10000 >= 900 * na2 * nb2
+    """,
+    "binary_meta": """
+        WITH d AS (
+            SELECT doc_id, encode(text) AS data FROM documents
+        )
+        SELECT doc_id,
+               octet_length(data) AS n_bytes,
+               substr(hex(data), 1, 16) AS head_hex,
+               octet_length(data) // 4 AS frame1,
+               octet_length(data) // 2 AS frame2,
+               octet_length(data) * 3 // 4 AS frame3,
+        FROM d
     """,
 }
