@@ -270,9 +270,14 @@ class CrawlEngine:
 
             link_emitters = self.handler.link_emitters()
             if link_emitters:
-                wp = Window.partitionBy(F.lit(1)).orderBy("seq")
-                parents = ok.filter(F.col("callback").isin(link_emitters)).withColumn(
-                    "_parent_rank", F.row_number().over(wp)
+                # deterministic FIFO rank of this epoch's parents by seq;
+                # scalable two-phase rank when the select batch is huge
+                # (wide-open bench runs), plain window otherwise
+                parents = FR.with_global_rank(
+                    ok.filter(F.col("callback").isin(link_emitters)),
+                    "_parent_rank",
+                    [F.asc("seq")],
+                    approx_rows=n_selected,
                 )
                 lc = F.lit(None).cast("string")
                 for name in link_emitters:

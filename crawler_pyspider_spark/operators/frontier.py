@@ -378,12 +378,16 @@ def select_batch(
             .withColumn("_rnp", F.row_number().over(wp))
             .filter(F.col("_rnp") <= F.col("_quota"))
         )
-    wg = Window.partitionBy(F.lit(1)).orderBy(*order)
-    selected = (
-        per_host.withColumn("_rng", F.row_number().over(wg))
-        .filter(F.col("_rng") <= loop_limit)
-        .select(*FRONTIER_COLS)
-        .withColumn("lease_expires", F.lit(float(now + LEASE_SECONDS)))
+    if total > loop_limit:
+        # The global LOOP_LIMIT cap can bind: deterministic top-k via
+        # sort-limit (TakeOrderedAndProject — per-partition partial
+        # top-k merged at the driver), NOT a single-partition window.
+        capped = per_host.orderBy(*order, F.asc("taskid")).limit(loop_limit)
+    else:
+        # ready total <= loop_limit ⇒ the cap cannot bind; skip the sort
+        capped = per_host
+    selected = capped.select(*FRONTIER_COLS).withColumn(
+        "lease_expires", F.lit(float(now + LEASE_SECONDS))
     )
 
     used = (
@@ -410,6 +414,60 @@ def update_token_state(token_state: DataFrame, used: DataFrame, now: float) -> D
 
 def empty_token_state(spark) -> DataFrame:
     return spark.createDataFrame([], "host string, tokens double, last_update double")
+
+
+def with_global_rank(
+    df: DataFrame,
+    rank_col: str,
+    order: list,
+    approx_rows: int | None = None,
+    n_parts: int | None = None,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Deterministic global ``row_number`` by ``order`` without the
+    single-partition-window trap.
+
+    Small inputs (≤ ``small_threshold``, when the caller knows the size)
+    take the plain window.  Large inputs use range-repartition on the
+    sort key + per-partition rank + broadcast cumulative offsets: exact
+    same rank values (range partitions are disjoint and ordered, so
+    offset[pid] + local_rn is the global rank regardless of where the
+    sampled bounds fall), but the sort is distributed.  ``order`` must
+    be a total order (unique key) for ranks to be well-defined.
+
+    The reference's analogue is the global in-queue sequence counter
+    (task_queue.py:28-38) — a driver-side AtomInt that could never
+    scale past one process.
+    """
+    if approx_rows is not None and approx_rows <= small_threshold:
+        w = Window.partitionBy(F.lit(1)).orderBy(*order)
+        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(parts, *order).withColumn(
+        "_grk_pid", F.spark_partition_id()
+    )
+    cnts = {
+        r["_grk_pid"]: r["cnt"]
+        for r in rp.groupBy("_grk_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    if not cnts:
+        return rp.drop("_grk_pid").withColumn(rank_col, F.lit(0).cast("long"))
+    offsets, acc = {}, 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    mapping = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("_grk_pid").orderBy(*order)
+    return (
+        rp.withColumn("_grk_rn", F.row_number().over(w))
+        .withColumn(
+            rank_col,
+            (mapping[F.col("_grk_pid")] + F.col("_grk_rn")).cast("long"),
+        )
+        .drop("_grk_pid", "_grk_rn")
+    )
 
 
 # --------------------------------------------------------------------------

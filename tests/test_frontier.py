@@ -429,3 +429,18 @@ class TestStatusCount:
         )
         got = {(r.project, r.status): r.cnt for r in FR.status_count(f).collect()}
         assert got == {("p", 1): 1, ("p", 2): 2, ("p", 3): 1}
+
+
+def test_with_global_rank_scalable_path_matches_window(spark):
+    """The range-partition + offset rank (large-input path) must produce
+    exactly the same rank values as the single-partition window."""
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 501).alias("seq"), (F.col("id") % 7).alias("x")
+    )
+    small = FR.with_global_rank(df, "rk", [F.asc("seq")], approx_rows=10)
+    large = FR.with_global_rank(df, "rk", [F.asc("seq")], approx_rows=10**9)
+    a = sorted((r["seq"], r["rk"]) for r in small.collect())
+    b = sorted((r["seq"], r["rk"]) for r in large.collect())
+    assert a == b
+    ranks = [rk for _, rk in sorted(a)]
+    assert ranks == sorted(ranks) and ranks[0] == 1 and ranks[-1] == 500
