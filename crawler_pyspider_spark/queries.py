@@ -898,6 +898,20 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction via the real ``mapInPandas`` stage
+    (functions/multimodal.py): opaque binary payload -> deterministic
+    md5-derived features, emitted as scalar columns for the oracle."""
+    from crawler_pyspider_spark.functions.multimodal import docs_as_media, media_features
+
+    feats = media_features(docs_as_media(spark, sf_dir), dim=4)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[F.element_at("features", j + 1).alias(f"f{j}") for j in range(4)],
+    )
+
+
 # ===========================================================================
 # registry + oracle SQL
 # ===========================================================================
@@ -945,6 +959,7 @@ QUERIES = {
     "link_extract": q_link_extract,
     "dedup_embedding": q_dedup_embedding,
     "binary_meta": q_binary_meta,
+    "media_features": q_media_features,
 }
 
 
@@ -1456,6 +1471,20 @@ ORACLE_SQL = {
                octet_length(data) // 4 AS frame1,
                octet_length(data) // 2 AS frame2,
                octet_length(data) * 3 // 4 AS frame3,
+        FROM d
+    """,
+    "media_features": """
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        )
+        SELECT media_id, n_bytes,
+               CAST(CAST(('0x' || substr(md5(hx || '|0'), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 1000 AS f0,
+               CAST(CAST(('0x' || substr(md5(hx || '|1'), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 1000 AS f1,
+               CAST(CAST(('0x' || substr(md5(hx || '|2'), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 1000 AS f2,
+               CAST(CAST(('0x' || substr(md5(hx || '|3'), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 1000 AS f3
         FROM d
     """,
 }
