@@ -43,11 +43,15 @@ def time_query(fn, spark, sf_dir) -> float:
     return time.monotonic() - t0
 
 
-def crawl_bench(spark, n_pages: int, n_hosts: int, epochs: int = 3) -> dict:
+def crawl_bench(
+    spark, n_pages: int, n_hosts: int, epochs: int = 3, body_kb: int = 20, show: int = 20
+) -> dict:
     from crawler_pyspider_spark.engine import BENCH_HANDLER, CrawlEngine
     from crawler_pyspider_spark.sources import synth
 
-    pages = synth.gen_pages(spark, n_pages=n_pages, n_hosts=n_hosts, show=8).cache()
+    pages = synth.gen_pages(
+        spark, n_pages=n_pages, n_hosts=n_hosts, show=show, body_kb=body_kb
+    ).cache()
     pages.count()  # materialize outside the timed window
     robots = synth.gen_robots(spark, n_hosts)
     politeness = synth.gen_politeness(spark, n_hosts, rate=1e6, burst=1e7)
@@ -55,9 +59,8 @@ def crawl_bench(spark, n_pages: int, n_hosts: int, epochs: int = 3) -> dict:
     eng = CrawlEngine(
         spark, pages, robots, politeness, wh,
         handler=BENCH_HANDLER, loop_limit=10_000_000,
-        salt_threshold=5000,
     )
-    eng.seed(synth.gen_seeds(spark, pages, 100))
+    eng.seed(synth.gen_seeds(spark, pages, max(n_pages // 2, 100)))
     t0 = time.monotonic()
     ms = eng.run(epochs)
     elapsed = time.monotonic() - t0
@@ -79,11 +82,16 @@ def main() -> None:
     from crawler_pyspider_spark.queries import QUERIES
     from crawler_pyspider_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    spark = get_spark(
+        app_name="bench",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"},
+    )
 
-    # crawl world sized from the documents table at this sf
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    n_pages = max(int(n_docs), 1000)
+    # crawl world sized by sf (sf0.1 -> 100k pages): large enough that
+    # per-epoch dataflow work dominates fixed per-epoch job overhead
+    n_pages = max(int(sf * 1_000_000), 2000)
     n_hosts = max(n_pages // 100, 16)
 
     t_suite0 = time.monotonic()

@@ -25,7 +25,18 @@ import json
 import os
 import shutil
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job."""
+    n = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return n
 
 
 class SnapshotStore:
@@ -52,8 +63,9 @@ class SnapshotStore:
             if os.path.exists(path):
                 shutil.rmtree(path)
             df.write.mode("overwrite").parquet(path)
-            n = self.spark.read.parquet(path).count()
-            manifest["tables"][name] = {"path": path, "rows": n}
+            # row count from file footers (the write already happened;
+            # a Spark count here would cost one extra job per table)
+            manifest["tables"][name] = {"path": path, "rows": _parquet_rows(path)}
         tmp = self._manifest_path(epoch) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)

@@ -37,6 +37,7 @@ from crawler_pyspider_spark.checkpoint import SnapshotStore
 from crawler_pyspider_spark.functions.extract import parse_page
 from crawler_pyspider_spark.functions.urls import with_url_identity
 from crawler_pyspider_spark.operators import frontier as FR
+from crawler_pyspider_spark.operators import seenset
 from crawler_pyspider_spark.operators.robots import robots_gate
 
 BASE_EPOCH_TS = 1704067200.0  # 2024-01-01T00:00:00Z — fixture base time
@@ -131,6 +132,10 @@ class CrawlEngine:
         n_salts: int = 8,
         salt_threshold: int = 10000,
         base_ts: float = BASE_EPOCH_TS,
+        seen_filter: str = "exact",
+        seen_shards_n: int = seenset.DEFAULT_SHARDS,
+        seen_bits: int = seenset.DEFAULT_BITS,
+        seen_k: int = seenset.DEFAULT_K,
     ):
         self.spark = spark
         self.pages = pages
@@ -146,11 +151,25 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.salt_threshold = salt_threshold
         self.base_ts = base_ts
+        if seen_filter not in ("exact", "bloom"):
+            raise ValueError(f"seen_filter must be 'exact' or 'bloom', got {seen_filter!r}")
+        self.seen_filter = seen_filter
+        self.seen_shards_n = seen_shards_n
+        self.seen_bits = seen_bits
+        self.seen_k = seen_k
+        # bloom tier (SURVEY §4): membership pre-filter in front of the
+        # frontier merge join; bloom-negative URLs append without a join
+        self.seen_shards: DataFrame | None = (
+            seenset.empty_shards(spark, seen_shards_n, seen_bits)
+            if seen_filter == "bloom"
+            else None
+        )
 
         self.epoch: int = -1
         self.frontier: DataFrame = FR.empty_frontier(spark)
         self.token_state: DataFrame = FR.empty_token_state(spark)
         self.pending: DataFrame | None = None  # follows + deferred for next epoch
+        self._pending_rows: int | None = None  # known size of self.pending
         self.metrics: list[dict] = []
 
     # -- time --------------------------------------------------------------
@@ -181,12 +200,14 @@ class CrawlEngine:
         w = Window.partitionBy(F.lit(1)).orderBy("url")
         s = s.withColumn("seq", F.row_number().over(w).cast("long"))
         self.pending = s.select("url", "project", "priority", "exetime", "callback", "seq")
+        self._pending_rows = None  # unknown until first commit
 
     # -- one epoch ----------------------------------------------------------
     def run_epoch(self) -> dict:
         self.epoch += 1
         now = self.now()
         m: dict = {"epoch": self.epoch, "now": now}
+        caches: list[DataFrame] = []
 
         # ---- ingest (§3.1 step 2) ----
         if self.pending is not None:
@@ -206,11 +227,38 @@ class CrawlEngine:
                 else:
                     inc = inc.withColumn(key, cfg)
             inc = FR.normalize_incoming(inc, now)
-            self.frontier, deferred = FR.merge_incoming(
-                self.frontier, inc, now, self.inqueue_limit
+            if self.seen_shards is not None:
+                # bloom pre-filter: ONE cogroup pass probes + inserts;
+                # bloom-positive rows go through the exact decision
+                # join, bloom-negative rows are definitely novel and
+                # APPEND to the frontier with no join/shuffle at all
+                inc = FR.dedup_batch(inc)
+                combined = seenset.probe_combined(
+                    inc,
+                    self.seen_shards,
+                    n_shards=self.seen_shards_n,
+                    bits=self.seen_bits,
+                    k=self.seen_k,
+                ).cache()
+                caches.append(combined)
+                flagged, self.seen_shards = seenset.split(combined)
+                maybe = flagged.filter(F.col("seen")).drop("seen", "shard")
+                novel = flagged.filter(~F.col("seen")).drop("seen", "shard")
+                merged, deferred = FR.merge_incoming(
+                    self.frontier, maybe, now, self.inqueue_limit
+                )
+                self.frontier = merged.unionByName(novel.select(*FR.FRONTIER_COLS))
+            else:
+                self.frontier, deferred = FR.merge_incoming(
+                    self.frontier, inc, now, self.inqueue_limit
+                )
+            # deferred (possibly empty) rides along in pending; the
+            # commit's footer row count decides next epoch, so no
+            # isEmpty/count jobs here
+            self.pending = deferred
+            m["ingested"] = (
+                self._pending_rows if self._pending_rows is not None else inc.count()
             )
-            self.pending = deferred if not deferred.isEmpty() else None
-            m["ingested"] = inc.count()
         else:
             m["ingested"] = 0
 
@@ -225,36 +273,46 @@ class CrawlEngine:
             salt_threshold=self.salt_threshold,
         )
         selected = selected.cache()
+        caches.append(selected)
         n_selected = selected.count()
         m["selected"] = n_selected
         self.token_state = FR.update_token_state(self.token_state, used, now)
         self.frontier = FR.upsert(self.frontier, selected)  # record leases (W4)
 
         results = follows = None
-        caches = [selected]
         if n_selected:
             # ---- fetch (step 4): robots gate + join the "web" ----
             gated = robots_gate(selected, self.robots)
+            allowed = gated.filter(F.col("robots_allowed"))
+            denied = gated.filter(~F.col("robots_allowed"))
             page_side = self.pages.select(
                 F.col("url").alias("_p_url"), F.col("html").alias("_p_html")
             )
-            fetched = gated.join(
-                page_side, gated["url"] == page_side["_p_url"], "left"
-            ).withColumn(
-                "status_code",
-                F.when(~F.col("robots_allowed"), F.lit(403))
-                .when(F.col("_p_html").isNotNull(), F.lit(200))
-                .otherwise(F.lit(404)),
+            # The select batch is the SMALL side (≤ loop_limit rows);
+            # broadcast it and stream the pages table map-side — the
+            # html payloads (the fat side) are never shuffled.  An
+            # outer join cannot preserve the broadcast side, so fetch
+            # hits come from an inner broadcast join and 404s from an
+            # anti-join against the (cached) hits.
+            hit_join = page_side.join(
+                F.broadcast(allowed) if n_selected <= 1_000_000 else allowed,
+                allowed["url"] == page_side["_p_url"],
+                "inner",
             )
-            fetched = fetched.cache()
-            caches.append(fetched)
 
-            # ---- process (step 5): one-pass parse ----
-            ok = fetched.filter(F.col("status_code") == 200).withColumn(
+            # ---- process (step 5): one-pass parse of the fetched pages ----
+            ok = hit_join.withColumn(
                 "_parsed", parse_page(F.col("url"), F.col("_p_html"))
-            )
+            ).drop("_p_url", "_p_html")
             ok = ok.cache()
             caches.append(ok)
+            m["fetched_ok"] = ok.count()
+
+            missing = allowed.join(
+                F.broadcast(ok.select(F.col("taskid").alias("_ok_taskid"))),
+                F.col("taskid") == F.col("_ok_taskid"),
+                "left_anti",
+            )
 
             emitters = self.handler.result_emitters()
             if emitters:
@@ -304,16 +362,16 @@ class CrawlEngine:
                 )
 
             # ---- close the loop (step 6) ----
-            statuses = fetched.select(
-                "project", "taskid", (F.col("status_code") == 200).alias("ok")
+            failed = denied.select("project", "taskid").unionByName(
+                missing.select("project", "taskid")
             )
-            sc_counts = {
-                r["status_code"]: r["count"]
-                for r in fetched.groupBy("status_code").count().collect()
-            }
-            m["fetched_ok"] = sc_counts.get(200, 0)
-            m["robots_denied"] = sc_counts.get(403, 0)
-            m["fetch_missing"] = sc_counts.get(404, 0)
+            statuses = (
+                ok.select("project", "taskid")
+                .withColumn("ok", F.lit(True))
+                .unionByName(failed.withColumn("ok", F.lit(False)))
+            )
+            m["robots_denied"] = denied.count()
+            m["fetch_missing"] = n_selected - m["fetched_ok"] - m["robots_denied"]
             self.frontier = FR.apply_status(self.frontier, statuses, now)
         else:
             m["fetched_ok"] = m["robots_denied"] = m["fetch_missing"] = 0
@@ -327,6 +385,8 @@ class CrawlEngine:
 
         # ---- commit (atomic snapshot) ----
         tables = {"frontier": self.frontier, "token_state": self.token_state}
+        if self.seen_shards is not None:
+            tables["seen_shards"] = self.seen_shards
         if results is not None:
             tables["results"] = results
         if self.pending is not None:
@@ -340,9 +400,14 @@ class CrawlEngine:
         # epoch start from exactly what a resume would see
         self.frontier = self.store.read("frontier", self.epoch)
         self.token_state = self.store.read("token_state", self.epoch)
-        self.pending = (
-            self.store.read("pending", self.epoch) if "pending" in manifest["tables"] else None
-        )
+        if "seen_shards" in manifest["tables"]:
+            self.seen_shards = self.store.read("seen_shards", self.epoch)
+        if manifest["tables"].get("pending", {}).get("rows", 0) > 0:
+            self.pending = self.store.read("pending", self.epoch)
+            self._pending_rows = manifest["tables"]["pending"]["rows"]
+        else:
+            self.pending = None
+            self._pending_rows = 0
         for c in caches:
             c.unpersist()
         self.metrics.append(m)
@@ -365,8 +430,13 @@ class CrawlEngine:
         manifest = eng.store.manifest(last)
         eng.frontier = eng.store.read("frontier", last)
         eng.token_state = eng.store.read("token_state", last)
-        if "pending" in manifest["tables"]:
+        if "seen_shards" in manifest["tables"]:
+            eng.seen_shards = eng.store.read("seen_shards", last)
+        if manifest["tables"].get("pending", {}).get("rows", 0) > 0:
             eng.pending = eng.store.read("pending", last)
+            eng._pending_rows = manifest["tables"]["pending"]["rows"]
+        else:
+            eng._pending_rows = 0
         return eng
 
     # -- reporting ----------------------------------------------------------

@@ -358,8 +358,9 @@ def select_batch(
 
     # per-project quota (W3) then global LOOP_LIMIT cap (T2)
     qsizes = ready.groupBy("project").agg(F.count("*").alias("_qsize"))
-    total = qsizes.agg(F.sum("_qsize").alias("_total")).collect()[0]["_total"] or 0
-    nproj = qsizes.count()
+    qrows = qsizes.collect()  # one row per project — dim-sized, one job
+    total = sum(r["_qsize"] for r in qrows)
+    nproj = len(qrows)
     if nproj > 1 and total > 0:
         min_q, max_q = int(loop_limit / 10.0), int(loop_limit / 3.0)
         quota = qsizes.withColumn(

@@ -77,9 +77,15 @@ def gen_pages(
     n_pages: int = 1000,
     n_hosts: int = 64,
     show: int = 8,
+    body_kb: int = 0,
 ) -> DataFrame:
     """The pages table ``(url, warc_ts, html, text, lang)`` per
-    BASELINE.json input_hint."""
+    BASELINE.json input_hint.
+
+    ``body_kb`` adds ~that many KB of deterministic filler prose per
+    page (real Common-Crawl pages are tens of KB; the bench uses this
+    so extraction compute reflects the true workload instead of
+    1 KB toy pages)."""
     df = spark.range(n_pages).withColumnRenamed("id", "i")
     i = F.col("i")
     df = df.withColumn("host_id", host_id(i, n_hosts))
@@ -122,6 +128,19 @@ def gen_pages(
         F.lit('<meta charset="utf-8">')
     )
     body_extra = F.when(gb_variant, F.lit("<p>中文测试页面内容。</p>")).otherwise(F.lit(""))
+    if body_kb:
+        # ~64-char sentence repeated 16×body_kb times ≈ body_kb KB
+        filler = F.repeat(
+            F.concat(
+                F.lit("the quick brown fox jumps over the lazy dog near host "),
+                F.col("host_id").cast("string"),
+                F.lit(" page "),
+                i.cast("string"),
+                F.lit(". "),
+            ),
+            body_kb * 16,
+        )
+        body_extra = F.concat(body_extra, F.lit("<p>"), filler, F.lit("</p>"))
     html_str = F.concat(
         F.lit("<html><head>"),
         meta,
@@ -158,17 +177,18 @@ def gen_seeds(
     n_seeds: int = 10,
     project: str = "bench",
 ) -> DataFrame:
-    """Initial frontier: first n_seeds page urls from distinct hosts;
-    a few rows get non-zero priority to pin ordering tests
-    (reference ``tests/test_task_queue.py:24-42``)."""
+    """Initial frontier: host-diverse prefix — the first page of every
+    host first (rank-within-host 1), then second pages, etc., until
+    n_seeds urls.  For n_seeds ≤ #hosts this is exactly one url per
+    distinct host.  A few rows get non-zero priority to pin ordering
+    tests (reference ``tests/test_task_queue.py:24-42``)."""
     w_host = F.row_number().over(
         Window.partitionBy(F.parse_url(F.col("url"), F.lit("HOST"))).orderBy("url")
     )
     seeds = (
         pages.select("url")
         .withColumn("rn_host", w_host)
-        .filter(F.col("rn_host") == 1)
-        .orderBy("url")
+        .orderBy("rn_host", "url")
         .limit(n_seeds)
         .drop("rn_host")
     )
