@@ -49,9 +49,12 @@ def crawl_bench(
     from crawler_pyspider_spark.engine import BENCH_HANDLER, CrawlEngine
     from crawler_pyspider_spark.sources import synth
 
-    pages = synth.gen_pages(
+    pages_full = synth.gen_pages(
         spark, n_pages=n_pages, n_hosts=n_hosts, show=show, body_kb=body_kb
-    ).cache()
+    )
+    # cache only what the fetch join reads; column pruning drops the
+    # text-decode UDF entirely
+    pages = pages_full.select("url", "html").cache()
     pages.count()  # materialize outside the timed window
     robots = synth.gen_robots(spark, n_hosts)
     politeness = synth.gen_politeness(spark, n_hosts, rate=1e6, burst=1e7)
@@ -75,6 +78,7 @@ def crawl_bench(
 
 
 def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -54,10 +54,22 @@ class SnapshotStore:
 
     # -- commit ------------------------------------------------------------
     def write_epoch(
-        self, epoch: int, tables: dict[str, DataFrame], counters: dict | None = None
+        self,
+        epoch: int,
+        tables: dict[str, DataFrame],
+        counters: dict | None = None,
+        engine_state: dict | None = None,
     ) -> dict:
-        """Write all epoch tables, then atomically publish the manifest."""
-        manifest: dict = {"epoch": epoch, "tables": {}, "counters": counters or {}}
+        """Write all epoch tables, then atomically publish the manifest.
+
+        ``engine_state`` carries small driver-side scheduler state
+        (pause streaks, lifecycle flags) so resume is exact."""
+        manifest: dict = {
+            "epoch": epoch,
+            "tables": {},
+            "counters": counters or {},
+            "engine_state": engine_state or {},
+        }
         for name, df in tables.items():
             path = self.table_path(name, epoch)
             if os.path.exists(path):

@@ -54,12 +54,18 @@ class Callback:
 
     ``config`` mirrors the ``@config`` decorator (base_handler.py:50-62,
     J4): schedule defaults applied to crawls *targeting* this callback.
+    ``every`` mirrors ``@every`` (base_handler.py:69-98, W7): the
+    callback fires as a cron control task whenever
+    ``(now - base_ts) % every == 0``; ``cron_seeds`` are the urls its
+    body would ``self.crawl()`` on each firing.
     """
 
     extract_links: bool = False
     link_callback: str | None = None
     emit_result: bool = False
     config: dict = field(default_factory=dict)
+    every: int | None = None
+    cron_seeds: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -136,11 +142,22 @@ class CrawlEngine:
         seen_shards_n: int = seenset.DEFAULT_SHARDS,
         seen_bits: int = seenset.DEFAULT_BITS,
         seen_k: int = seenset.DEFAULT_K,
+        fail_pause_num: int | None = None,
+        pause_epochs: int = 3,
     ):
         self.spark = spark
         self.pages = pages
         self.robots = robots
-        self.politeness = politeness
+        # control tasks (data: URIs) live on INTERNAL_HOST — never
+        # throttled (the reference's synthetic tasks bypass the fetch
+        # pool the same way, tornado_fetcher.py:191-214)
+        from crawler_pyspider_spark.functions.urls import INTERNAL_HOST
+
+        self.politeness = politeness.unionByName(
+            spark.createDataFrame(
+                [(INTERNAL_HOST, 1e9, 1e9)], politeness.schema
+            )
+        )
         self.store = SnapshotStore(spark, warehouse)
         self.handler = handler
         self.project = project
@@ -165,11 +182,23 @@ class CrawlEngine:
             else None
         )
 
+        # pause state machine (A10; scheduler.py:52-103): per-project
+        # consecutive-failure streak; ≥ fail_pause_num pauses selection
+        # for pause_epochs.  None disables the accounting (no extra
+        # per-epoch jobs).
+        self.fail_pause_num = fail_pause_num
+        self.pause_epochs = pause_epochs
+        self._project_state: dict[str, dict] = {}
+
         self.epoch: int = -1
         self.frontier: DataFrame = FR.empty_frontier(spark)
         self.token_state: DataFrame = FR.empty_token_state(spark)
         self.pending: DataFrame | None = None  # follows + deferred for next epoch
         self._pending_rows: int | None = None  # known size of self.pending
+        self._had_selects: bool = False  # for on_finished (W8) debounce
+        self._finished_emitted: bool = False
+        self._fire_on_finished: bool = False
+        self._messages: list[tuple[str, str]] = []  # queued send_message payloads
         self.metrics: list[dict] = []
 
     # -- time --------------------------------------------------------------
@@ -202,12 +231,122 @@ class CrawlEngine:
         self.pending = s.select("url", "project", "priority", "exetime", "callback", "seq")
         self._pending_rows = None  # unknown until first commit
 
+    # -- control rows: cron / messages / on_finished (W7, W8, §2.10) -------
+    def send_message(self, project: str, message: str) -> None:
+        """Cross-project message (base_handler.py:433-439 send_message →
+        processor.py:186-202 '_on_message' synthetic task): materializes
+        next epoch as a '_on_message' control task whose data: URI
+        carries the payload (S7 fetch semantics)."""
+        self._messages.append((project, message))
+
+    def _control_rows(self, now: float) -> DataFrame | None:
+        """Synthetic control tasks due this epoch: @every cron firings
+        (+ their cron_seeds crawls), queued messages, and the
+        'on_finished' lifecycle callback.  All are data: URIs, so the
+        fetch stage answers them without touching the pages table
+        (tornado_fetcher.py:191-214)."""
+        from urllib.parse import quote
+
+        rows: list[tuple] = []
+        base_seq = self.epoch * 1_000_000_000 + 900_000_000
+        tick = int(round(now - self.base_ts))
+        for name, cb in self.handler.callbacks.items():
+            if cb.every and tick % cb.every == 0:
+                rows.append(
+                    (f"data:,on_cronjob:{name}:{tick}", self.project, 9, 0.0,
+                     name, base_seq + len(rows))
+                )
+                for s in cb.cron_seeds:
+                    rows.append(
+                        (s, self.project, None, 0.0,
+                         cb.link_callback or name, base_seq + len(rows))
+                    )
+        for proj, msg in self._messages:
+            rows.append(
+                ("data:," + quote(msg), proj, 9, 0.0, "_on_message",
+                 base_seq + len(rows))
+            )
+        self._messages = []
+        if self._fire_on_finished and "on_finished" in self.handler.callbacks:
+            rows.append(
+                (f"data:,on_finished:{tick}", self.project, 9, 0.0,
+                 "on_finished", base_seq + len(rows))
+            )
+        self._fire_on_finished = False
+        if not rows:
+            return None
+        return self.spark.createDataFrame(
+            rows,
+            "url string, project string, priority int, exetime double,"
+            " callback string, seq long",
+        )
+
+    def _paused_projects(self) -> list[str]:
+        return [
+            p
+            for p, st in self._project_state.items()
+            if st.get("paused_until") is not None and self.epoch < st["paused_until"]
+        ]
+
+    def _update_pause_state(self, statuses: DataFrame) -> None:
+        """Per-project consecutive-failure streak from this epoch's
+        seq-ordered outcomes (Project.paused, scheduler.py:52-103).
+        statuses: (project, taskid, seq, ok) — ≤ loop_limit rows, two
+        dim-sized aggregations."""
+        stats = (
+            statuses.groupBy("project")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("ok").cast("int")).alias("n_ok"),
+                F.max(F.when(F.col("ok"), F.col("seq"))).alias("last_ok_seq"),
+            )
+            .collect()
+        )
+        if not stats:
+            return
+        last_ok = self.spark.createDataFrame(
+            [(r["project"], r["last_ok_seq"]) for r in stats],
+            "project string, _last_ok long",
+        )
+        trailing = {
+            r["project"]: r["count"]
+            for r in (
+                statuses.join(F.broadcast(last_ok), "project", "left")
+                .filter(
+                    (~F.col("ok"))
+                    & (F.col("_last_ok").isNull() | (F.col("seq") > F.col("_last_ok")))
+                )
+                .groupBy("project")
+                .count()
+                .collect()
+            )
+        }
+        for r in stats:
+            p = r["project"]
+            st = self._project_state.setdefault(p, {"streak": 0, "paused_until": None})
+            if r["n_ok"] > 0:
+                st["streak"] = trailing.get(p, 0)
+            else:
+                st["streak"] += r["n"]
+            if st["streak"] >= self.fail_pause_num:
+                st["paused_until"] = self.epoch + 1 + self.pause_epochs
+
     # -- one epoch ----------------------------------------------------------
     def run_epoch(self) -> dict:
         self.epoch += 1
         now = self.now()
         m: dict = {"epoch": self.epoch, "now": now}
         caches: list[DataFrame] = []
+
+        # ---- control rows (cron W7 / messages / on_finished W8) ----
+        control = self._control_rows(now)
+        if control is not None:
+            self.pending = (
+                control
+                if self.pending is None
+                else self.pending.unionByName(control, allowMissingColumns=True)
+            )
+            self._pending_rows = None  # size unknown until commit
 
         # ---- ingest (§3.1 step 2) ----
         if self.pending is not None:
@@ -263,8 +402,15 @@ class CrawlEngine:
             m["ingested"] = 0
 
         # ---- select (step 3) ----
+        paused = self._paused_projects()
+        m["paused_projects"] = paused
+        select_src = (
+            self.frontier.filter(~F.col("project").isin(paused))
+            if paused
+            else self.frontier
+        )
         selected, used = FR.select_batch(
-            self.frontier,
+            select_src,
             self.token_state,
             self.politeness,
             now,
@@ -285,6 +431,14 @@ class CrawlEngine:
             gated = robots_gate(selected, self.robots)
             allowed = gated.filter(F.col("robots_allowed"))
             denied = gated.filter(~F.col("robots_allowed"))
+            # data: URIs answer without touching the web (S7,
+            # tornado_fetcher.py:191-214): body = url-decoded payload
+            is_data = F.col("url").startswith("data:")
+            data_rows = allowed.filter(is_data).withColumn(
+                "_p_html",
+                F.encode(F.expr("url_decode(substring(url, 7))"), "utf-8"),
+            )
+            http_rows = allowed.filter(~is_data)
             page_side = self.pages.select(
                 F.col("url").alias("_p_url"), F.col("html").alias("_p_html")
             )
@@ -295,20 +449,29 @@ class CrawlEngine:
             # hits come from an inner broadcast join and 404s from an
             # anti-join against the (cached) hits.
             hit_join = page_side.join(
-                F.broadcast(allowed) if n_selected <= 1_000_000 else allowed,
-                allowed["url"] == page_side["_p_url"],
+                F.broadcast(http_rows) if n_selected <= 1_000_000 else http_rows,
+                http_rows["url"] == page_side["_p_url"],
                 "inner",
-            )
+            ).drop("_p_url")
 
             # ---- process (step 5): one-pass parse of the fetched pages ----
-            ok = hit_join.withColumn(
-                "_parsed", parse_page(F.col("url"), F.col("_p_html"))
-            ).drop("_p_url", "_p_html")
+            # Parse once, then keep only title+links in the cached frame
+            # — the decoded full text would multiply cache memory by the
+            # page size for nothing (reference parse-once rationale,
+            # response.py:105; text itself is the extraction oracle and
+            # is exercised by functions/extract.py directly).
+            ok = hit_join.unionByName(data_rows)
+            ok = (
+                ok.withColumn("_parsed", parse_page(F.col("url"), F.col("_p_html")))
+                .withColumn("_title", F.col("_parsed.title"))
+                .withColumn("_links", F.col("_parsed.links"))
+                .drop("_p_html", "_parsed")
+            )
             ok = ok.cache()
             caches.append(ok)
             m["fetched_ok"] = ok.count()
 
-            missing = allowed.join(
+            missing = http_rows.join(
                 F.broadcast(ok.select(F.col("taskid").alias("_ok_taskid"))),
                 F.col("taskid") == F.col("_ok_taskid"),
                 "left_anti",
@@ -321,7 +484,7 @@ class CrawlEngine:
                     "project",
                     "url",
                     F.to_json(
-                        F.struct(F.col("url"), F.col("_parsed.title").alias("title"))
+                        F.struct(F.col("url"), F.col("_title").alias("title"))
                     ).alias("result"),
                     F.lit(now).alias("updatetime"),
                 )
@@ -345,7 +508,7 @@ class CrawlEngine:
                     parents.select(
                         F.col("_parent_rank"),
                         lc.alias("_link_callback"),
-                        F.posexplode(F.col("_parsed.links")).alias("_link_idx", "_link_url"),
+                        F.posexplode(F.col("_links")).alias("_link_idx", "_link_url"),
                     )
                     .select(
                         F.col("_link_url").alias("url"),
@@ -362,17 +525,19 @@ class CrawlEngine:
                 )
 
             # ---- close the loop (step 6) ----
-            failed = denied.select("project", "taskid").unionByName(
-                missing.select("project", "taskid")
+            failed = denied.select("project", "taskid", "seq").unionByName(
+                missing.select("project", "taskid", "seq")
             )
             statuses = (
-                ok.select("project", "taskid")
+                ok.select("project", "taskid", "seq")
                 .withColumn("ok", F.lit(True))
                 .unionByName(failed.withColumn("ok", F.lit(False)))
             )
             m["robots_denied"] = denied.count()
             m["fetch_missing"] = n_selected - m["fetched_ok"] - m["robots_denied"]
             self.frontier = FR.apply_status(self.frontier, statuses, now)
+            if self.fail_pause_num:
+                self._update_pause_state(statuses)
         else:
             m["fetched_ok"] = m["robots_denied"] = m["fetch_missing"] = 0
 
@@ -391,7 +556,17 @@ class CrawlEngine:
             tables["results"] = results
         if self.pending is not None:
             tables["pending"] = self.pending
-        manifest = self.store.write_epoch(self.epoch, tables, counters=m)
+        manifest = self.store.write_epoch(
+            self.epoch,
+            tables,
+            counters=m,
+            engine_state={
+                "project_state": self._project_state,
+                "had_selects": self._had_selects,
+                "finished_emitted": self._finished_emitted,
+                "fire_on_finished": self._fire_on_finished,
+            },
+        )
         m["n_results"] = manifest["tables"].get("results", {}).get("rows", 0)
         m["n_pending"] = manifest["tables"].get("pending", {}).get("rows", 0)
         m["frontier_rows"] = manifest["tables"]["frontier"]["rows"]
@@ -408,6 +583,20 @@ class CrawlEngine:
         else:
             self.pending = None
             self._pending_rows = 0
+        # on_finished (W8, scheduler.py:541-562): queue drained after
+        # having selected work — emit once; the callback (if declared)
+        # fires as a control task next epoch
+        if n_selected:
+            self._had_selects = True
+        elif (
+            self._had_selects
+            and not self._finished_emitted
+            and m["n_pending"] == 0
+        ):
+            m["on_finished"] = True
+            self._finished_emitted = True
+            self._fire_on_finished = True
+
         for c in caches:
             c.unpersist()
         self.metrics.append(m)
@@ -437,6 +626,11 @@ class CrawlEngine:
             eng._pending_rows = manifest["tables"]["pending"]["rows"]
         else:
             eng._pending_rows = 0
+        st = manifest.get("engine_state", {})
+        eng._project_state = st.get("project_state", {})
+        eng._had_selects = st.get("had_selects", False)
+        eng._finished_emitted = st.get("finished_emitted", False)
+        eng._fire_on_finished = st.get("fire_on_finished", False)
         return eng
 
     # -- reporting ----------------------------------------------------------

@@ -105,15 +105,25 @@ def host_bucket_col(url: Column, n_buckets: int = 1024) -> Column:
     return F.pmod(F.xxhash64(host_col(url)), F.lit(n_buckets)).cast("int")
 
 
+INTERNAL_HOST = "_internal_"  # data: URIs / control rows have no netloc
+
+
 def with_url_identity(df, url_col: str = "url", n_buckets: int = 1024):
     """Append url_canon / taskid / host / host_bucket columns.
 
     The single canonicalization pandas UDF runs once; everything
     downstream (md5, host parse, bucket hash) is JVM codegen.
+    Hostless URLs (data: control tasks) map to INTERNAL_HOST so they
+    still flow through the per-host politeness machinery.
     """
     out = df.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+    out = out.withColumn(
+        "host", F.coalesce(host_col(F.col("url_canon")), F.lit(INTERNAL_HOST))
+    )
     return (
         out.withColumn("taskid", taskid_col(F.col("url_canon")))
-        .withColumn("host", host_col(F.col("url_canon")))
-        .withColumn("host_bucket", host_bucket_col(F.col("url_canon"), n_buckets))
+        .withColumn(
+            "host_bucket",
+            F.pmod(F.xxhash64(F.col("host")), F.lit(n_buckets)).cast("int"),
+        )
     )
