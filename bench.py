@@ -58,14 +58,20 @@ def crawl_bench(
     pages.count()  # materialize outside the timed window
     robots = synth.gen_robots(spark, n_hosts)
     politeness = synth.gen_politeness(spark, n_hosts, rate=1e6, burst=1e7)
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    wh = tempfile.mkdtemp(
+        prefix="bench_wh_", dir=os.environ.get("SPARK_GRAFT_WH_DIR")
+    )
     eng = CrawlEngine(
         spark, pages, robots, politeness, wh,
         handler=BENCH_HANDLER, loop_limit=10_000_000,
     )
     eng.seed(synth.gen_seeds(spark, pages, max(n_pages // 2, 100)))
     t0 = time.monotonic()
-    ms = eng.run(epochs)
+    ms, epoch_secs = [], []
+    for _ in range(epochs):
+        te = time.monotonic()
+        ms.append(eng.run_epoch())
+        epoch_secs.append(round(time.monotonic() - te, 2))
     elapsed = time.monotonic() - t0
     urls = sum(m["ingested"] + m["selected"] for m in ms)
     pages.unpersist()
@@ -73,12 +79,52 @@ def crawl_bench(
         "elapsed_sec": elapsed,
         "urls_scheduled_deduped": urls,
         "throughput_urls_per_sec": urls / elapsed if elapsed else 0.0,
+        "epoch_secs": epoch_secs,
         "epoch_metrics": ms,
     }
 
 
+def crawl_only_main() -> None:
+    """Subprocess mode for tools/scaling_bench.py: one crawl_bench run
+    in a fresh JVM, one JSON line out.  Shuffle + snapshot warehouse go
+    to tmpfs so single-box disk bandwidth (a fixed serial resource that
+    a real cluster scales with node count) doesn't cap the measurement."""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_graft_local")
+    os.environ.setdefault("SPARK_GRAFT_WH_DIR", "/dev/shm/spark_graft_wh")
+    os.makedirs(os.environ["SPARK_GRAFT_WH_DIR"], exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # sf0.1 -> 1M pages x ~20KB: big enough that per-task compute
+    # dominates task-dispatch overhead at 32 cores
+    n_pages = max(int(sf * 10_000_000), 2000)
+    n_hosts = max(n_pages // 100, 16)
+
+    from crawler_pyspider_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"crawl_bench_{cpus}",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"},
+    )
+    # untimed warmup at a real batch shape: JIT/codegen for every stage
+    # (ingest, select, parse, commit) compiles before the timed window
+    crawl_bench(spark, n_pages=20_000, n_hosts=200, epochs=2)
+    res = crawl_bench(spark, n_pages, n_hosts)
+    res["cpus"], res["n_pages"], res["n_hosts"] = cpus, n_pages, n_hosts
+    res["epoch_metrics"] = [
+        {k: v for k, v in m.items() if k.startswith("t_") or k in
+         ("epoch", "ingested", "selected", "fetched_ok", "n_pending")}
+        for m in res.get("epoch_metrics", [])
+    ]
+    print(json.dumps(res))
+    spark.stop()
+
+
 def main() -> None:
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -93,8 +139,9 @@ def main() -> None:
         extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"},
     )
 
-    # crawl world sized by sf (sf0.1 -> 100k pages): large enough that
-    # per-epoch dataflow work dominates fixed per-epoch job overhead
+    # crawl world sized by sf (sf0.1 -> 100k pages) — keeps the
+    # per-round bench run to a few minutes; the scaling-efficiency
+    # evidence uses the 10x world via tools/scaling_bench.py
     n_pages = max(int(sf * 1_000_000), 2000)
     n_hosts = max(n_pages // 100, 16)
 
@@ -127,4 +174,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "crawl":
+        crawl_only_main()
+    else:
+        main()

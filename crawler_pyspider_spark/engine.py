@@ -28,13 +28,14 @@ against the single-threaded oracle in tests.
 from __future__ import annotations
 
 import json
+import time as _time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_pyspider_spark.checkpoint import SnapshotStore
-from crawler_pyspider_spark.functions.extract import parse_page
+from crawler_pyspider_spark.functions.extract import parse_page_meta
 from crawler_pyspider_spark.functions.urls import with_url_identity
 from crawler_pyspider_spark.operators import frontier as FR
 from crawler_pyspider_spark.operators import seenset
@@ -226,8 +227,9 @@ class CrawlEngine:
             ),
         )
         s = s.withColumn("callback", F.lit(callback))
-        w = Window.partitionBy(F.lit(1)).orderBy("url")
-        s = s.withColumn("seq", F.row_number().over(w).cast("long"))
+        # deterministic FIFO seq by url — scalable rank, not a
+        # single-partition window (seed lists can be millions of urls)
+        s = FR.with_global_rank(s, "seq", [F.asc("url")])
         self.pending = s.select("url", "project", "priority", "exetime", "callback", "seq")
         self._pending_rows = None  # unknown until first commit
 
@@ -366,6 +368,12 @@ class CrawlEngine:
                 else:
                     inc = inc.withColumn(key, cfg)
             inc = FR.normalize_incoming(inc, now)
+            # cache the canonicalized batch: the merge, the deferred
+            # split, and (bloom mode) the probe all read it — without
+            # the cache, writing the frontier and pending snapshots
+            # re-runs the canonicalize UDF + dedup over the whole batch
+            inc = inc.cache()
+            caches.append(inc)
             if self.seen_shards is not None:
                 # bloom pre-filter: ONE cogroup pass probes + inserts;
                 # bloom-positive rows go through the exact decision
@@ -395,6 +403,11 @@ class CrawlEngine:
             # commit's footer row count decides next epoch, so no
             # isEmpty/count jobs here
             self.pending = deferred
+            # cache the merged frontier: the select stage, the lease
+            # upsert, the status fold, AND the snapshot write all build
+            # on it — one materialization instead of three
+            self.frontier = self.frontier.cache()
+            caches.append(self.frontier)
             m["ingested"] = (
                 self._pending_rows if self._pending_rows is not None else inc.count()
             )
@@ -420,7 +433,9 @@ class CrawlEngine:
         )
         selected = selected.cache()
         caches.append(selected)
+        _t = _time.monotonic()
         n_selected = selected.count()
+        m["t_select"] = round(_time.monotonic() - _t, 2)
         m["selected"] = n_selected
         self.token_state = FR.update_token_state(self.token_state, used, now)
         self.frontier = FR.upsert(self.frontier, selected)  # record leases (W4)
@@ -462,14 +477,16 @@ class CrawlEngine:
             # is exercised by functions/extract.py directly).
             ok = hit_join.unionByName(data_rows)
             ok = (
-                ok.withColumn("_parsed", parse_page(F.col("url"), F.col("_p_html")))
+                ok.withColumn("_parsed", parse_page_meta(F.col("url"), F.col("_p_html")))
                 .withColumn("_title", F.col("_parsed.title"))
                 .withColumn("_links", F.col("_parsed.links"))
                 .drop("_p_html", "_parsed")
             )
             ok = ok.cache()
             caches.append(ok)
+            _t = _time.monotonic()
             m["fetched_ok"] = ok.count()
+            m["t_fetch_parse"] = round(_time.monotonic() - _t, 2)
 
             missing = http_rows.join(
                 F.broadcast(ok.select(F.col("taskid").alias("_ok_taskid"))),
@@ -533,7 +550,9 @@ class CrawlEngine:
                 .withColumn("ok", F.lit(True))
                 .unionByName(failed.withColumn("ok", F.lit(False)))
             )
+            _t = _time.monotonic()
             m["robots_denied"] = denied.count()
+            m["t_denied"] = round(_time.monotonic() - _t, 2)
             m["fetch_missing"] = n_selected - m["fetched_ok"] - m["robots_denied"]
             self.frontier = FR.apply_status(self.frontier, statuses, now)
             if self.fail_pause_num:
@@ -556,6 +575,7 @@ class CrawlEngine:
             tables["results"] = results
         if self.pending is not None:
             tables["pending"] = self.pending
+        _t = _time.monotonic()
         manifest = self.store.write_epoch(
             self.epoch,
             tables,
@@ -567,6 +587,7 @@ class CrawlEngine:
                 "fire_on_finished": self._fire_on_finished,
             },
         )
+        m["t_commit"] = round(_time.monotonic() - _t, 2)
         m["n_results"] = manifest["tables"].get("results", {}).get("rows", 0)
         m["n_pending"] = manifest["tables"].get("pending", {}).get("rows", 0)
         m["frontier_rows"] = manifest["tables"]["frontier"]["rows"]

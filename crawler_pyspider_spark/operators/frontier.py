@@ -117,15 +117,23 @@ def normalize_incoming(incoming: DataFrame, now: float) -> DataFrame:
 def dedup_batch(incoming: DataFrame) -> DataFrame:
     """Within-batch dedup by (project, taskid): first arrival wins unless
     a later one carries force_update (scheduler.py:388-418 keyed-dict
-    consume; A2).  Deterministic via seq ordering."""
-    w = Window.partitionBy("project", "taskid").orderBy(
-        F.col("force_update").desc(), F.col("seq").asc()
+    consume; A2).  Deterministic via seq ordering.
+
+    Implemented as ``min_by`` aggregation, NOT a row_number window: the
+    aggregate gets map-side partial combine and no per-partition sort,
+    which matters enormously when nearly every key is unique (the
+    common case for a URL batch)."""
+    payload = [c for c in incoming.columns if c not in ("project", "taskid")]
+    order_key = F.struct(
+        (~F.coalesce(F.col("force_update"), F.lit(False))).cast("int").alias("fu"),
+        F.col("seq").alias("seq"),
     )
-    return (
-        incoming.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    agg = incoming.groupBy("project", "taskid").agg(
+        F.min_by(F.struct(*payload), order_key).alias("_r")
     )
+    return agg.select(
+        "project", "taskid", *[F.col(f"_r.{c}").alias(c) for c in payload]
+    ).select(*incoming.columns)
 
 
 def apply_inqueue_limit(
@@ -222,18 +230,24 @@ def upsert(frontier: DataFrame, changes: DataFrame) -> DataFrame:
     """Latest-wins MERGE by (project, taskid) — the Iceberg ``MERGE INTO``
     equivalent (S3).  changes take precedence over existing rows.
 
-    One shuffle over frontier ∪ changes; at 10^10 rows the frontier
-    table is bucketed by taskid hash so this co-partitions (Iceberg
-    bucket transform / storage-partitioned join on a real cluster)."""
-    tagged_old = frontier.withColumn("_prec", F.lit(0))
-    tagged_new = changes.withColumn("_prec", F.lit(1))
-    w = Window.partitionBy("project", "taskid").orderBy(F.col("_prec").desc())
-    return (
-        tagged_old.unionByName(tagged_new)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_prec", "_rn")
+    One shuffle over frontier ∪ changes, as a ``max_by`` aggregation
+    (map-side partial combine, no sort) — a row_number window here
+    anti-scales because virtually every (project, taskid) group has a
+    single row.  Both sides are unique per key (frontier invariant;
+    changes are dedup'd), so max_by on the precedence tag is
+    deterministic.  At 10^10 rows the frontier table is bucketed by
+    taskid hash so this co-partitions (Iceberg bucket transform /
+    storage-partitioned join on a real cluster)."""
+    payload = [c for c in FRONTIER_COLS if c not in ("project", "taskid")]
+    tagged = frontier.withColumn("_prec", F.lit(0)).unionByName(
+        changes.withColumn("_prec", F.lit(1))
     )
+    agg = tagged.groupBy("project", "taskid").agg(
+        F.max_by(F.struct(*payload), F.col("_prec")).alias("_r")
+    )
+    return agg.select(
+        "project", "taskid", *[F.col(f"_r.{c}").alias(c) for c in payload]
+    ).select(*FRONTIER_COLS)
 
 
 # --------------------------------------------------------------------------
@@ -336,9 +350,17 @@ def select_batch(
 
     order = [F.col("priority").desc(), F.col("seq").asc()]
 
-    # phase 1 — salted pre-rank for heavy hosts only
+    # Hosts whose budget covers their whole ready set need NO ranking:
+    # every row is selected, no window, no sort.  At web scale most
+    # hosts have a handful of ready tasks against a full token bucket,
+    # so the ranking machinery below only ever touches the contended
+    # hosts — and a wide-open budget (bench mode) costs zero windows.
     ranked_src = ranked_src.join(counts, "host", "left")
-    salted = ranked_src.withColumn(
+    nonbinding = ranked_src.filter(F.col("ready_cnt") <= F.col("_budget"))
+    binding = ranked_src.filter(F.col("ready_cnt") > F.col("_budget"))
+
+    # phase 1 — salted pre-rank for heavy contended hosts only
+    salted = binding.withColumn(
         "_salt",
         F.when(
             F.col("ready_cnt") > salt_threshold,
@@ -350,11 +372,14 @@ def select_batch(
         F.col("_rn1") <= F.col("_budget")
     )
 
-    # phase 2 — exact per-host rank over the (small) survivor set
+    # phase 2 — exact per-host rank over the (≤ n_salts·budget) survivors
     w2 = Window.partitionBy("project", "host").orderBy(*order)
-    per_host = phase1.withColumn("_rn2", F.row_number().over(w2)).filter(
-        F.col("_rn2") <= F.col("_budget")
+    ranked = (
+        phase1.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= F.col("_budget"))
+        .drop("_salt", "_rn1", "_rn2")
     )
+    per_host = nonbinding.unionByName(ranked)
 
     # per-project quota (W3) then global LOOP_LIMIT cap (T2)
     qsizes = ready.groupBy("project").agg(F.count("*").alias("_qsize"))

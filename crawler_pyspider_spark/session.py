@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # SPARK_GRAFT_LOCAL_DIR: shuffle/spill location.  The bench points
+    # this at tmpfs — on one box the local disk (~500 MB/s here) is a
+    # shared serial resource, whereas a real cluster adds local disks
+    # with every node; tmpfs restores that per-core scaling behaviour.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

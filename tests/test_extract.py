@@ -121,3 +121,22 @@ class TestParsePageUDF:
         # and independently vs a driver-side python decode
         for r in out.limit(20).collect():
             assert r.engine_text == decode_html(bytes(r.html))
+
+
+def test_parse_page_meta_matches_full(spark):
+    """The hot-path meta UDF (no text roundtrip) must emit exactly the
+    title+links of the full parse_page."""
+    from crawler_pyspider_spark.functions.extract import parse_page_meta
+    from crawler_pyspider_spark.sources import synth
+
+    pages = synth.gen_pages(spark, n_pages=60, n_hosts=8, show=4)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["url"], r["title"], tuple(r["links"])) for r in df.collect()
+    )
+    full = pages.select(
+        "url", parse_page(F.col("url"), F.col("html")).alias("p")
+    ).select("url", "p.title", "p.links")
+    meta = pages.select(
+        "url", parse_page_meta(F.col("url"), F.col("html")).alias("p")
+    ).select("url", "p.title", "p.links")
+    assert norm(full) == norm(meta)
