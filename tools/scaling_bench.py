@@ -115,6 +115,10 @@ measure the sandbox's disk, not the dataflow.
 
 **Scaling efficiency (throughput@4N / throughput@N) / 4 = {out['scaling_efficiency']}**
 
+Each level reports the best of {REPS} full runs (`all_throughputs` in
+`scaling.json`) — this VM shows bursty noisy-neighbor CPU interference,
+so single-run ratios are unreliable; best-of-N is the standard defense.
+
 Caveats: single-JVM local mode shares one driver and one shuffle
 service, so this measures the dataflow's parallelizability (no
 single-partition stages, balanced partitions), not network shuffle cost.
