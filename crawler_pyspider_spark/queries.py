@@ -718,6 +718,28 @@ def q_fail_streak(spark, sf_dir):
     )
 
 
+def q_recrawl_rearm(spark, sf_dir):
+    """W6 — auto_recrawl re-arm on success (scheduler.py:929-936):
+    success with auto_recrawl ∧ age ≥ 0 stays ACTIVE with
+    exetime = now + age; otherwise terminal SUCCESS.  The same CASE
+    apply_status uses (operators/frontier.py)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 2 == 0).alias("auto_recrawl"),
+        F.when(F.col("user_id") % 3 == 0, F.lit(1800)).otherwise(F.lit(-1)).alias("age"),
+    )
+    rearm = F.col("auto_recrawl") & (F.col("age") >= 0)
+    return e.select(
+        "event_id",
+        "auto_recrawl",
+        "age",
+        F.when(rearm, F.lit(1)).otherwise(F.lit(2)).alias("next_status"),
+        F.when(rearm, (F.lit(NOW_LEASE) + F.col("age")).cast("long")).alias(
+            "next_exetime"
+        ),
+    )
+
+
 def q_cron_due(spark, sf_dir):
     """W7 — @every cron tick gating (scheduler.py:420-450,
     base_handler.py:69-120): callback is due when tick % interval == 0."""
@@ -952,6 +974,7 @@ QUERIES = {
     "lease_release": q_lease_release,
     "restart_decision": q_restart_decision,
     "fail_streak": q_fail_streak,
+    "recrawl_rearm": q_recrawl_rearm,
     "cron_due": q_cron_due,
     "common_fields": q_common_fields,
     "url_canon": q_url_canon,
@@ -1369,6 +1392,19 @@ ORACLE_SQL = {
                coalesce(min(CASE WHEN is_fail = 0 THEN rn END) - 1,
                         count(*)) >= 3 AS would_pause
         FROM last10 GROUP BY user_id
+    """,
+    "recrawl_rearm": """
+        WITH e AS (
+            SELECT event_id,
+                   event_id % 2 = 0 AS auto_recrawl,
+                   CASE WHEN user_id % 3 = 0 THEN 1800 ELSE -1 END AS age
+            FROM events
+        )
+        SELECT event_id, auto_recrawl, age,
+               CASE WHEN auto_recrawl AND age >= 0 THEN 1 ELSE 2 END AS next_status,
+               CASE WHEN auto_recrawl AND age >= 0
+                    THEN CAST(1705276800 + age AS BIGINT) END AS next_exetime
+        FROM e
     """,
     "cron_due": """
         SELECT event_id,
