@@ -64,6 +64,10 @@ def crawl_bench(
     eng = CrawlEngine(
         spark, pages, robots, politeness, wh,
         handler=BENCH_HANDLER, loop_limit=10_000_000,
+        # single-JVM local mode: one broadcast copy, so forcing the
+        # select batch broadcast (html never shuffles) stays right at
+        # any batch size; on a real cluster keep the row-based default
+        fetch_broadcast_rows=1 << 31,
     )
     eng.seed(synth.gen_seeds(spark, pages, max(n_pages // 2, 100)))
     t0 = time.monotonic()

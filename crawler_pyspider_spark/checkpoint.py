@@ -59,11 +59,17 @@ class SnapshotStore:
         tables: dict[str, DataFrame],
         counters: dict | None = None,
         engine_state: dict | None = None,
+        engine_state_fn=None,
     ) -> dict:
         """Write all epoch tables, then atomically publish the manifest.
 
         ``engine_state`` carries small driver-side scheduler state
-        (pause streaks, lifecycle flags) so resume is exact."""
+        (pause streaks, lifecycle flags) so resume is exact.
+        ``engine_state_fn``, if given, is called with the written
+        ``manifest['tables']`` dict (so it can see this epoch's row
+        counts — e.g. the pending size that decides on_finished) and its
+        return value becomes the stored engine_state: the manifest then
+        records END-of-epoch lifecycle state, not last epoch's."""
         manifest: dict = {
             "epoch": epoch,
             "tables": {},
@@ -78,6 +84,8 @@ class SnapshotStore:
             # row count from file footers (the write already happened;
             # a Spark count here would cost one extra job per table)
             manifest["tables"][name] = {"path": path, "rows": _parquet_rows(path)}
+        if engine_state_fn is not None:
+            manifest["engine_state"] = engine_state_fn(manifest["tables"])
         tmp = self._manifest_path(epoch) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)

@@ -56,9 +56,19 @@ class Callback:
     ``config`` mirrors the ``@config`` decorator (base_handler.py:50-62,
     J4): schedule defaults applied to crawls *targeting* this callback.
     ``every`` mirrors ``@every`` (base_handler.py:69-98, W7): the
-    callback fires as a cron control task whenever
-    ``(now - base_ts) % every == 0``; ``cron_seeds`` are the urls its
+    callback fires as a cron control task whenever the interval has
+    elapsed since its last firing; ``cron_seeds`` are the urls its
     body would ``self.crawl()`` on each firing.
+    ``catch_status_code_error`` mirrors ``@catch_status_code_error``
+    (base_handler.py:27-33): the callback also runs on non-200/304
+    responses and the fetch counts as successful.
+    ``not_send_status`` mirrors ``@not_send_status``
+    (base_handler.py:36-47): no status package reaches the scheduler —
+    the ephemeral task is dropped from the frontier instead of being
+    folded to SUCCESS.
+    ``forward_save`` attaches the parent's ``save`` payload to every
+    link this callback emits (the declarative form of
+    ``self.crawl(u, save=response.save)``, base_handler.py:222-225).
     """
 
     extract_links: bool = False
@@ -67,6 +77,9 @@ class Callback:
     config: dict = field(default_factory=dict)
     every: int | None = None
     cron_seeds: tuple = ()
+    catch_status_code_error: bool = False
+    not_send_status: bool = False
+    forward_save: bool = False
 
 
 @dataclass(frozen=True)
@@ -104,6 +117,36 @@ BENCH_HANDLER = Handler(
         ),
     }
 )
+
+
+def fetch_status_flags(status_code, last_etag, page_etag, catch):
+    """F6 — non-200 gating + conditional fetch as column expressions,
+    reproducing the reference semantics (tornado_fetcher.py:273-291
+    If-None-Match from the last fetch's etag; base_handler.py:161-177
+    _run_task — no callback on 304 or non-200 unless
+    @catch_status_code_error; response.py:165-184 raise_for_status —
+    304 is ok, 4xx/5xx raise):
+
+      effective  304 when the stored etag matches the page etag,
+                 else the page's status code
+      process    whether the callback runs (200, or anything under
+                 @catch_status_code_error)
+      fetch_ok   whether the scheduler sees success (200 | 304, or
+                 anything under @catch_status_code_error)
+
+    Shared by the engine fetch stage and the oracle query
+    ``q_status_gate`` so a regression here flips a CORRECTNESS row.
+    """
+    eff = F.when(
+        (status_code == 200)
+        & last_etag.isNotNull()
+        & page_etag.isNotNull()
+        & (last_etag == page_etag),
+        F.lit(304),
+    ).otherwise(status_code)
+    process = (eff == 200) | catch
+    fetch_ok = (eff == 200) | (eff == 304) | catch
+    return eff, process, fetch_ok
 
 
 def _callback_case(handler: Handler, key: str, dtype: str, default):
@@ -145,6 +188,13 @@ class CrawlEngine:
         seen_k: int = seenset.DEFAULT_K,
         fail_pause_num: int | None = None,
         pause_epochs: int = 3,
+        fetch_broadcast_rows: int = 300_000,
+        rank_small_threshold: int = 20_000,
+        taskid_fn=None,
+        projects: dict | None = None,
+        fetch_mode: str = "pages",
+        fetch_pool_size: int = 100,
+        fetch_timeout: float = 20.0,
     ):
         self.spark = spark
         self.pages = pages
@@ -189,7 +239,50 @@ class CrawlEngine:
         # per-epoch jobs).
         self.fail_pause_num = fail_pause_num
         self.pause_epochs = pause_epochs
+        # Explicit-broadcast cutover for the fetch join, in ROWS of the
+        # select batch.  Above it, AQE decides (a 10^6-row batch with
+        # urls is order-100 MB replicated per executor — too big to
+        # force).  Single-JVM local benches may raise it: local mode
+        # keeps exactly one broadcast copy, so "never shuffle the html"
+        # stays the right trade there at any batch size.
+        self.fetch_broadcast_rows = fetch_broadcast_rows
+        # parent-rank path cutover: below this row count a plain
+        # single-partition window ranks the epoch's parents; above it
+        # the distributed range-partition rank runs (one extra job, but
+        # no 100k-row serial sort per epoch at bench batch sizes)
+        self.rank_small_threshold = rank_small_threshold
+        # get_taskid override (base_handler.py:340-342): a callable
+        # DataFrame -> Column producing the dedup key; default is
+        # md5(canonical url) via with_url_identity
+        self.taskid_fn = taskid_fn
+        # projectdb dim (scheduler.py:120-125 _load_projects keeps the
+        # projects in a driver dict the same way): name -> {status,
+        # rate, burst}.  status ∈ RUNNING|DEBUG is active
+        # (projectdb.py:14-22); anything else rejects new tasks
+        # (task_verify, scheduler.py:298-316) and pauses selection.
+        # None disables all project gating (single-project bench mode —
+        # zero extra jobs).  Per-project rate/burst feed a second token
+        # bucket (keyed by project) through the same host_budgets
+        # operator; its state is snapshot-persisted for resume.
+        # fetch path: 'pages' broadcast-joins the sandbox pages table;
+        # 'http' runs the production mapInPandas pooled-GET stage
+        # (functions/fetch_http.py) — repartitioned by host_bucket so a
+        # partition keeps few hosts (S6, tornado_fetcher.py:76-84)
+        if fetch_mode not in ("pages", "http"):
+            raise ValueError(f"fetch_mode must be 'pages' or 'http', got {fetch_mode!r}")
+        self.fetch_mode = fetch_mode
+        self.fetch_pool_size = fetch_pool_size
+        self.fetch_timeout = fetch_timeout
+        self._projects: dict[str, dict] | None = (
+            {k: dict(v) for k, v in projects.items()} if projects else None
+        )
+        self._get_info_sent: set[str] = set()
+        self.project_token_state: DataFrame | None = (
+            FR.empty_token_state(spark) if projects else None
+        )
         self._project_state: dict[str, dict] = {}
+        self._cron_last: dict[str, int] = {}  # @every last-fired tick (W7)
+        self._extra_caches: list[DataFrame] = []  # persisted frames from seed()
 
         self.epoch: int = -1
         self.frontier: DataFrame = FR.empty_frontier(spark)
@@ -229,8 +322,11 @@ class CrawlEngine:
         s = s.withColumn("callback", F.lit(callback))
         # deterministic FIFO seq by url — scalable rank, not a
         # single-partition window (seed lists can be millions of urls)
-        s = FR.with_global_rank(s, "seq", [F.asc("url")])
-        self.pending = s.select("url", "project", "priority", "exetime", "callback", "seq")
+        s = FR.with_global_rank(s, "seq", [F.asc("url")], cache_list=self._extra_caches)
+        cols = ["url", "project", "priority", "exetime", "callback", "seq"]
+        if "save" in s.columns:
+            cols.append("save")
+        self.pending = s.select(*cols)
         self._pending_rows = None  # unknown until first commit
 
     # -- control rows: cron / messages / on_finished (W7, W8, §2.10) -------
@@ -253,7 +349,12 @@ class CrawlEngine:
         base_seq = self.epoch * 1_000_000_000 + 900_000_000
         tick = int(round(now - self.base_ts))
         for name, cb in self.handler.callbacks.items():
-            if cb.every and tick % cb.every == 0:
+            # fire whenever the interval has ELAPSED since the last
+            # firing (reference @every semantics, base_handler.py:69-98)
+            # — not `tick % every == 0`, which never fires when `every`
+            # is not a multiple of the epoch interval
+            if cb.every and tick - self._cron_last.get(name, 0) >= cb.every:
+                self._cron_last[name] = tick
                 rows.append(
                     (f"data:,on_cronjob:{name}:{tick}", self.project, 9, 0.0,
                      name, base_seq + len(rows))
@@ -263,6 +364,28 @@ class CrawlEngine:
                         (s, self.project, None, 0.0,
                          cb.link_callback or name, base_seq + len(rows))
                     )
+        if self._projects is not None:
+            # _on_get_info handshake (scheduler.py:232-247): on project
+            # load/update, a synthetic data: task queries the handler's
+            # info; the driver-side info (min_tick from @every) updates
+            # immediately, the control row documents the round-trip.
+            intervals = [cb.every for cb in self.handler.callbacks.values() if cb.every]
+            for p in sorted(self._projects):
+                if p in self._get_info_sent:
+                    continue
+                if (
+                    self._projects[p].get("status", "RUNNING")
+                    not in self.ACTIVE_PROJECT_STATUSES
+                ):
+                    continue
+                self._get_info_sent.add(p)
+                self._projects[p]["info"] = {
+                    "min_tick": min(intervals) if intervals else 0
+                }
+                rows.append(
+                    (f"data:,_on_get_info:{p}", p, 9, 0.0, "_on_get_info",
+                     base_seq + len(rows))
+                )
         for proj, msg in self._messages:
             rows.append(
                 ("data:," + quote(msg), proj, 9, 0.0, "_on_message",
@@ -283,12 +406,44 @@ class CrawlEngine:
             " callback string, seq long",
         )
 
-    def _paused_projects(self) -> list[str]:
+    # -- projectdb dim (S5, scheduler.py:120-125,207-247,298-316) -----------
+    ACTIVE_PROJECT_STATUSES = ("RUNNING", "DEBUG")  # projectdb.py:14-22
+
+    def _active_projects(self) -> list[str] | None:
+        if self._projects is None:
+            return None
         return [
+            p
+            for p, v in self._projects.items()
+            if v.get("status", "RUNNING") in self.ACTIVE_PROJECT_STATUSES
+        ]
+
+    def update_project(self, name: str, **fields) -> None:
+        """projectdb insert/update (scheduler.py:207-247 _update_projects):
+        merge the fields and re-arm the `_on_get_info` handshake so the
+        next epoch re-queries the project's handler info."""
+        if self._projects is None:
+            self._projects = {}
+            self.project_token_state = FR.empty_token_state(self.spark)
+        self._projects.setdefault(name, {}).update(fields)
+        self._get_info_sent.discard(name)
+
+    def _paused_projects(self) -> list[str]:
+        paused = [
             p
             for p, st in self._project_state.items()
             if st.get("paused_until") is not None and self.epoch < st["paused_until"]
         ]
+        if self._projects is not None:
+            # STOP/TODO/CHECKING projects never select (scheduler.py
+            # _check_select skips non-active projects)
+            paused += [
+                p
+                for p, v in self._projects.items()
+                if v.get("status", "RUNNING") not in self.ACTIVE_PROJECT_STATUSES
+                and p not in paused
+            ]
+        return paused
 
     def _update_pause_state(self, statuses: DataFrame) -> None:
         """Per-project consecutive-failure streak from this epoch's
@@ -300,28 +455,15 @@ class CrawlEngine:
             .agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("ok").cast("int")).alias("n_ok"),
-                F.max(F.when(F.col("ok"), F.col("seq"))).alias("last_ok_seq"),
             )
             .collect()
         )
         if not stats:
             return
-        last_ok = self.spark.createDataFrame(
-            [(r["project"], r["last_ok_seq"]) for r in stats],
-            "project string, _last_ok long",
-        )
+        # same streak operator the oracle battery checks (q_fail_streak)
         trailing = {
-            r["project"]: r["count"]
-            for r in (
-                statuses.join(F.broadcast(last_ok), "project", "left")
-                .filter(
-                    (~F.col("ok"))
-                    & (F.col("_last_ok").isNull() | (F.col("seq") > F.col("_last_ok")))
-                )
-                .groupBy("project")
-                .count()
-                .collect()
-            )
+            r["project"]: r["fail_streak"]
+            for r in FR.trailing_fail_streak(statuses).collect()
         }
         for r in stats:
             p = r["project"]
@@ -339,6 +481,9 @@ class CrawlEngine:
         now = self.now()
         m: dict = {"epoch": self.epoch, "now": now}
         caches: list[DataFrame] = []
+        if self._extra_caches:  # persisted rank frames from seed()
+            caches.extend(self._extra_caches)
+            self._extra_caches = []
 
         # ---- control rows (cron W7 / messages / on_finished W8) ----
         control = self._control_rows(now)
@@ -354,6 +499,8 @@ class CrawlEngine:
         if self.pending is not None:
             inc = with_url_identity(self.pending, "url", self.n_host_buckets)
             inc = inc.drop("url").withColumnRenamed("url_canon", "url")
+            if self.taskid_fn is not None:
+                inc = inc.withColumn("taskid", self.taskid_fn(inc))
             # @config defaults for the target callback (J4)
             for key, dtype, dflt in (
                 ("age", "long", FR.DEFAULT_AGE),
@@ -368,6 +515,12 @@ class CrawlEngine:
                 else:
                     inc = inc.withColumn(key, cfg)
             inc = FR.normalize_incoming(inc, now)
+            active = self._active_projects()
+            if active is not None:
+                # task_verify (F2, scheduler.py:298-316): unknown or
+                # non-active projects reject the arrival — a JVM-side
+                # isin predicate over the dim list, no join, no shuffle
+                inc = inc.filter(F.col("project").isin(active))
             # cache the canonicalized batch: the merge, the deferred
             # split, and (bloom mode) the probe all read it — without
             # the cache, writing the frontier and pending snapshots
@@ -380,6 +533,13 @@ class CrawlEngine:
                 # join, bloom-negative rows are definitely novel and
                 # APPEND to the frontier with no join/shuffle at all
                 inc = FR.dedup_batch(inc)
+                # INQUEUE_LIMIT (F9) must gate the WHOLE batch before
+                # the bloom split — novel rows bypass merge_incoming, so
+                # admitting here is the only place the cap can see them;
+                # this matches exact-mode ordering (dedup → limit →
+                # decision) exactly.  No-op when no limit is set (bench).
+                if self.inqueue_limit:
+                    inc = FR.apply_inqueue_limit(inc, self.frontier, self.inqueue_limit)
                 combined = seenset.probe_combined(
                     inc,
                     self.seen_shards,
@@ -392,7 +552,7 @@ class CrawlEngine:
                 maybe = flagged.filter(F.col("seen")).drop("seen", "shard")
                 novel = flagged.filter(~F.col("seen")).drop("seen", "shard")
                 merged, deferred = FR.merge_incoming(
-                    self.frontier, maybe, now, self.inqueue_limit
+                    self.frontier, maybe, now, None
                 )
                 self.frontier = merged.unionByName(novel.select(*FR.FRONTIER_COLS))
             else:
@@ -422,6 +582,27 @@ class CrawlEngine:
             if paused
             else self.frontier
         )
+        proj_bucket = proj_budgets = None
+        if self._projects is not None:
+            # per-project rate/burst token bucket (projectdb.py:21-22,
+            # scheduler.py:506-536) through the SAME budget operator the
+            # per-host politeness uses — dim-sized frames throughout
+            prows = [
+                (p, float(v.get("rate", 1.0)), float(v.get("burst", 10.0)))
+                for p, v in self._projects.items()
+            ]
+            ppol = self.spark.createDataFrame(
+                prows, "key string, rate double, burst double"
+            )
+            proj_bucket = FR.host_budgets(
+                ppol.select(F.col("key").alias("host")),
+                self.project_token_state,
+                ppol,
+                now,
+            )
+            proj_budgets = proj_bucket.select(
+                F.col("host").alias("project"), "budget"
+            )
         selected, used = FR.select_batch(
             select_src,
             self.token_state,
@@ -430,6 +611,7 @@ class CrawlEngine:
             loop_limit=self.loop_limit,
             n_salts=self.n_salts,
             salt_threshold=self.salt_threshold,
+            project_budgets=proj_budgets,
         )
         selected = selected.cache()
         caches.append(selected)
@@ -438,6 +620,17 @@ class CrawlEngine:
         m["t_select"] = round(_time.monotonic() - _t, 2)
         m["selected"] = n_selected
         self.token_state = FR.update_token_state(self.token_state, used, now)
+        if proj_bucket is not None:
+            used_p = (
+                selected.groupBy(F.col("project").alias("host"))
+                .agg(F.count("*").alias("n_selected"))
+                .join(proj_bucket, "host", "right")
+                .withColumn("n_selected", F.coalesce(F.col("n_selected"), F.lit(0)))
+                .select("host", "n_selected", "tokens_avail", "rate", "burst")
+            )
+            self.project_token_state = FR.update_token_state(
+                self.project_token_state, used_p, now
+            )
         self.frontier = FR.upsert(self.frontier, selected)  # record leases (W4)
 
         results = follows = None
@@ -449,43 +642,104 @@ class CrawlEngine:
             # data: URIs answer without touching the web (S7,
             # tornado_fetcher.py:191-214): body = url-decoded payload
             is_data = F.col("url").startswith("data:")
-            data_rows = allowed.filter(is_data).withColumn(
-                "_p_html",
-                F.encode(F.expr("url_decode(substring(url, 7))"), "utf-8"),
+            data_rows = (
+                allowed.filter(is_data)
+                .withColumn(
+                    "_p_html",
+                    F.encode(F.expr("url_decode(substring(url, 7))"), "utf-8"),
+                )
+                .withColumn("_p_status", F.lit(200))
+                .withColumn("_p_etag", F.lit(None).cast("string"))
             )
             http_rows = allowed.filter(~is_data)
-            page_side = self.pages.select(
-                F.col("url").alias("_p_url"), F.col("html").alias("_p_html")
-            )
-            # The select batch is the SMALL side (≤ loop_limit rows);
-            # broadcast it and stream the pages table map-side — the
-            # html payloads (the fat side) are never shuffled.  An
-            # outer join cannot preserve the broadcast side, so fetch
-            # hits come from an inner broadcast join and 404s from an
-            # anti-join against the (cached) hits.
-            hit_join = page_side.join(
-                F.broadcast(http_rows) if n_selected <= 1_000_000 else http_rows,
-                http_rows["url"] == page_side["_p_url"],
-                "inner",
-            ).drop("_p_url")
+            if self.fetch_mode == "http":
+                # production path: repartition by host_bucket (few hosts
+                # per partition — connection reuse + politeness
+                # locality), then the pooled mapInPandas GET stage;
+                # every task returns a row (599 on connection error),
+                # so the missing anti-join below is an empty no-op
+                from crawler_pyspider_spark.functions.fetch_http import fetch_http
 
-            # ---- process (step 5): one-pass parse of the fetched pages ----
-            # Parse once, then keep only title+links in the cached frame
-            # — the decoded full text would multiply cache memory by the
-            # page size for nothing (reference parse-once rationale,
-            # response.py:105; text itself is the extraction oracle and
-            # is exercised by functions/extract.py directly).
-            ok = hit_join.unionByName(data_rows)
+                hit_join = fetch_http(
+                    http_rows.repartition(
+                        self.spark.sparkContext.defaultParallelism, "host_bucket"
+                    ),
+                    pool_size=self.fetch_pool_size,
+                    timeout=self.fetch_timeout,
+                )
+            else:
+                # pages tables without status_code/etag (the input_hint
+                # shape) behave as an all-200, no-etag web
+                pcols = self.pages.columns
+                page_side = self.pages.select(
+                    F.col("url").alias("_p_url"),
+                    F.col("html").alias("_p_html"),
+                    (
+                        F.col("status_code") if "status_code" in pcols else F.lit(200)
+                    ).cast("int").alias("_p_status"),
+                    (
+                        F.col("etag") if "etag" in pcols else F.lit(None)
+                    ).cast("string").alias("_p_etag"),
+                )
+                # The select batch is the SMALL side (≤ loop_limit rows);
+                # broadcast it and stream the pages table map-side — the
+                # html payloads (the fat side) are never shuffled.  An
+                # outer join cannot preserve the broadcast side, so fetch
+                # hits come from an inner broadcast join and 404s from an
+                # anti-join against the (cached) hits.
+                hit_join = page_side.join(
+                    F.broadcast(http_rows)
+                    if n_selected <= self.fetch_broadcast_rows
+                    else http_rows,
+                    http_rows["url"] == page_side["_p_url"],
+                    "inner",
+                ).drop("_p_url")
+
+            # ---- process (step 5): status gate + one-pass parse ----
+            # F6: effective status (304 when the stored etag matches),
+            # then parse ONLY rows whose callback will run — the when()
+            # nulls html for 304/non-200 rows and the UDF short-circuits
+            # on null, so skipped pages cost no decode.  Only title+links
+            # stay in the cached frame (full text would multiply cache
+            # memory by the page size for nothing — response.py:105).
+            fetched = hit_join.unionByName(data_rows)
+            catch_cbs = [
+                n for n, cb in self.handler.callbacks.items()
+                if cb.catch_status_code_error
+            ]
+            catch = (
+                F.col("callback").isin(catch_cbs) if catch_cbs else F.lit(False)
+            )
+            eff_status, process_f, fetch_ok_f = fetch_status_flags(
+                F.col("_p_status"), F.col("last_etag"), F.col("_p_etag"), catch
+            )
             ok = (
-                ok.withColumn("_parsed", parse_page_meta(F.col("url"), F.col("_p_html")))
+                fetched.withColumn("_status_code", eff_status)
+                .withColumn("_process", process_f)
+                .withColumn("_fetch_ok", fetch_ok_f)
+                .withColumn(
+                    "_parsed",
+                    parse_page_meta(
+                        F.col("url"), F.when(F.col("_process"), F.col("_p_html"))
+                    ),
+                )
                 .withColumn("_title", F.col("_parsed.title"))
                 .withColumn("_links", F.col("_parsed.links"))
-                .drop("_p_html", "_parsed")
+                .drop("_p_html", "_parsed", "_p_status")
             )
             ok = ok.cache()
             caches.append(ok)
             _t = _time.monotonic()
-            m["fetched_ok"] = ok.count()
+            fc = ok.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.col("_fetch_ok").cast("int")), F.lit(0)).alias("n_ok"),
+                F.coalesce(
+                    F.sum((F.col("_status_code") == 304).cast("int")), F.lit(0)
+                ).alias("n_304"),
+            ).collect()[0]
+            m["fetched_ok"] = int(fc["n_ok"])
+            m["fetched_not_modified"] = int(fc["n_304"])
+            m["fetch_error"] = int(fc["n"]) - int(fc["n_ok"])
             m["t_fetch_parse"] = round(_time.monotonic() - _t, 2)
 
             missing = http_rows.join(
@@ -496,13 +750,16 @@ class CrawlEngine:
 
             emitters = self.handler.result_emitters()
             if emitters:
-                results = ok.filter(F.col("callback").isin(emitters)).select(
+                results = ok.filter(
+                    F.col("_process") & F.col("callback").isin(emitters)
+                ).select(
                     "taskid",
                     "project",
                     "url",
                     F.to_json(
                         F.struct(F.col("url"), F.col("_title").alias("title"))
                     ).alias("result"),
+                    F.col("save").alias("save"),
                     F.lit(now).alias("updatetime"),
                 )
 
@@ -512,19 +769,25 @@ class CrawlEngine:
                 # scalable two-phase rank when the select batch is huge
                 # (wide-open bench runs), plain window otherwise
                 parents = FR.with_global_rank(
-                    ok.filter(F.col("callback").isin(link_emitters)),
+                    ok.filter(F.col("_process") & F.col("callback").isin(link_emitters)),
                     "_parent_rank",
                     [F.asc("seq")],
                     approx_rows=n_selected,
+                    small_threshold=self.rank_small_threshold,
+                    cache_list=caches,
                 )
                 lc = F.lit(None).cast("string")
+                fs = F.lit(None).cast("string")  # forwarded save payload
                 for name in link_emitters:
-                    tgt = self.handler.callbacks[name].link_callback
-                    lc = F.when(F.col("callback") == name, F.lit(tgt)).otherwise(lc)
+                    cb = self.handler.callbacks[name]
+                    lc = F.when(F.col("callback") == name, F.lit(cb.link_callback)).otherwise(lc)
+                    if cb.forward_save:
+                        fs = F.when(F.col("callback") == name, F.col("save")).otherwise(fs)
                 follows = (
                     parents.select(
                         F.col("_parent_rank"),
                         lc.alias("_link_callback"),
+                        fs.alias("_save"),
                         F.posexplode(F.col("_links")).alias("_link_idx", "_link_url"),
                     )
                     .select(
@@ -536,29 +799,60 @@ class CrawlEngine:
                             + F.col("_parent_rank") * 10_000
                             + F.col("_link_idx")
                         ).cast("long").alias("seq"),
+                        F.col("_save").alias("save"),
                     )
                     .withColumn("priority", F.lit(None).cast("int"))
                     .withColumn("exetime", F.lit(0.0))
                 )
 
             # ---- close the loop (step 6) ----
-            failed = denied.select("project", "taskid", "seq").unionByName(
-                missing.select("project", "taskid", "seq")
+            failed = denied.select("project", "taskid", "seq", "callback").unionByName(
+                missing.select("project", "taskid", "seq", "callback")
             )
             statuses = (
-                ok.select("project", "taskid", "seq")
-                .withColumn("ok", F.lit(True))
-                .unionByName(failed.withColumn("ok", F.lit(False)))
+                ok.select(
+                    "project", "taskid", "seq", "callback",
+                    F.col("_fetch_ok").alias("ok"),
+                    F.col("_p_etag").alias("etag"),
+                )
+                .unionByName(
+                    failed.withColumn("ok", F.lit(False))
+                    .withColumn("etag", F.lit(None).cast("string"))
+                )
             )
+            nss_cbs = [
+                n for n, cb in self.handler.callbacks.items() if cb.not_send_status
+            ]
+            if self._projects is not None and "_on_get_info" not in self.handler.callbacks:
+                # the handshake task is ephemeral — never tracked
+                # (scheduler.py:232-247 consumes it without a status)
+                nss_cbs.append("_on_get_info")
+            if nss_cbs:
+                # @not_send_status: the scheduler never hears about these
+                # tasks; drop the ephemeral rows instead of folding SUCCESS
+                drop_keys = statuses.filter(F.col("callback").isin(nss_cbs)).select(
+                    "project", "taskid"
+                )
+                statuses = statuses.filter(~F.col("callback").isin(nss_cbs))
+                self.frontier = FR.apply_status(
+                    self.frontier, statuses.drop("callback"), now
+                )
+                self.frontier = self.frontier.join(
+                    drop_keys, ["project", "taskid"], "left_anti"
+                )
+            else:
+                self.frontier = FR.apply_status(
+                    self.frontier, statuses.drop("callback"), now
+                )
             _t = _time.monotonic()
             m["robots_denied"] = denied.count()
             m["t_denied"] = round(_time.monotonic() - _t, 2)
-            m["fetch_missing"] = n_selected - m["fetched_ok"] - m["robots_denied"]
-            self.frontier = FR.apply_status(self.frontier, statuses, now)
+            m["fetch_missing"] = n_selected - int(fc["n"]) - m["robots_denied"]
             if self.fail_pause_num:
                 self._update_pause_state(statuses)
         else:
             m["fetched_ok"] = m["robots_denied"] = m["fetch_missing"] = 0
+            m["fetched_not_modified"] = m["fetch_error"] = 0
 
         # queue follows (+ any deferred already in pending) for next epoch
         if follows is not None:
@@ -571,21 +865,42 @@ class CrawlEngine:
         tables = {"frontier": self.frontier, "token_state": self.token_state}
         if self.seen_shards is not None:
             tables["seen_shards"] = self.seen_shards
+        if self.project_token_state is not None:
+            tables["project_token_state"] = self.project_token_state
         if results is not None:
             tables["results"] = results
         if self.pending is not None:
             tables["pending"] = self.pending
         _t = _time.monotonic()
-        manifest = self.store.write_epoch(
-            self.epoch,
-            tables,
-            counters=m,
-            engine_state={
+
+        def _lifecycle_state(table_rows: dict) -> dict:
+            # Decide on_finished (W8, scheduler.py:541-562) BEFORE the
+            # manifest publishes, from THIS epoch's committed pending
+            # size — so a resume from the drain epoch restores the
+            # firing instead of silently dropping it.
+            n_pending = table_rows.get("pending", {}).get("rows", 0)
+            if n_selected:
+                self._had_selects = True
+            elif (
+                self._had_selects
+                and not self._finished_emitted
+                and n_pending == 0
+            ):
+                m["on_finished"] = True
+                self._finished_emitted = True
+                self._fire_on_finished = True
+            return {
                 "project_state": self._project_state,
                 "had_selects": self._had_selects,
                 "finished_emitted": self._finished_emitted,
                 "fire_on_finished": self._fire_on_finished,
-            },
+                "cron_last": self._cron_last,
+                "projects": self._projects,
+                "get_info_sent": sorted(self._get_info_sent),
+            }
+
+        manifest = self.store.write_epoch(
+            self.epoch, tables, counters=m, engine_state_fn=_lifecycle_state
         )
         m["t_commit"] = round(_time.monotonic() - _t, 2)
         m["n_results"] = manifest["tables"].get("results", {}).get("rows", 0)
@@ -598,25 +913,16 @@ class CrawlEngine:
         self.token_state = self.store.read("token_state", self.epoch)
         if "seen_shards" in manifest["tables"]:
             self.seen_shards = self.store.read("seen_shards", self.epoch)
+        if "project_token_state" in manifest["tables"]:
+            self.project_token_state = self.store.read(
+                "project_token_state", self.epoch
+            )
         if manifest["tables"].get("pending", {}).get("rows", 0) > 0:
             self.pending = self.store.read("pending", self.epoch)
             self._pending_rows = manifest["tables"]["pending"]["rows"]
         else:
             self.pending = None
             self._pending_rows = 0
-        # on_finished (W8, scheduler.py:541-562): queue drained after
-        # having selected work — emit once; the callback (if declared)
-        # fires as a control task next epoch
-        if n_selected:
-            self._had_selects = True
-        elif (
-            self._had_selects
-            and not self._finished_emitted
-            and m["n_pending"] == 0
-        ):
-            m["on_finished"] = True
-            self._finished_emitted = True
-            self._fire_on_finished = True
 
         for c in caches:
             c.unpersist()
@@ -642,6 +948,8 @@ class CrawlEngine:
         eng.token_state = eng.store.read("token_state", last)
         if "seen_shards" in manifest["tables"]:
             eng.seen_shards = eng.store.read("seen_shards", last)
+        if "project_token_state" in manifest["tables"]:
+            eng.project_token_state = eng.store.read("project_token_state", last)
         if manifest["tables"].get("pending", {}).get("rows", 0) > 0:
             eng.pending = eng.store.read("pending", last)
             eng._pending_rows = manifest["tables"]["pending"]["rows"]
@@ -652,14 +960,33 @@ class CrawlEngine:
         eng._had_selects = st.get("had_selects", False)
         eng._finished_emitted = st.get("finished_emitted", False)
         eng._fire_on_finished = st.get("fire_on_finished", False)
+        eng._cron_last = {k: int(v) for k, v in st.get("cron_last", {}).items()}
+        if st.get("projects") is not None:
+            eng._projects = st["projects"]
+        eng._get_info_sent = set(st.get("get_info_sent", []))
         return eng
 
     # -- reporting ----------------------------------------------------------
-    def results_df(self) -> DataFrame | None:
+    def results_df(self, latest_only: bool = True) -> DataFrame | None:
+        """Materialized results view.  Per-epoch appends are the delta
+        log (Iceberg-style); the read view upserts latest-wins by
+        (project, taskid) — resultdb.save semantics (reference
+        result_worker.py:30-46, database/base/resultdb.py), so an
+        auto_recrawl'd page yields ONE row with the newest updatetime.
+        ``latest_only=False`` returns the raw append log."""
         try:
-            return self.store.read_all_epochs("results")
+            raw = self.store.read_all_epochs("results")
         except FileNotFoundError:
             return None
+        if not latest_only:
+            return raw
+        payload = [c for c in raw.columns if c not in ("project", "taskid")]
+        agg = raw.groupBy("project", "taskid").agg(
+            F.max_by(F.struct(*payload), F.col("updatetime")).alias("_r")
+        )
+        return agg.select(
+            "project", "taskid", *[F.col(f"_r.{c}").alias(c) for c in payload]
+        ).select(*raw.columns)
 
     def metrics_json(self) -> str:
         return json.dumps(self.metrics)

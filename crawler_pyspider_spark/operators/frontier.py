@@ -33,6 +33,11 @@ shows the struct view used for parity fixtures):
                            (epoch·1e9 + source_rank·1e4 + link_index —
                             replaces task_queue.py:28-38 AtomInt)
     lease_expires double (nullable)  in-flight fetch lease (W4)
+    save          string (nullable)  JSON payload passed crawl→callback
+                           (base_handler.py:222-225 / task['fetch']['save'])
+    last_etag     string (nullable)  etag of the last successful fetch —
+                           drives If-None-Match conditional fetch
+                           (tornado_fetcher.py:273-281 track_headers)
 
 Status flow reproduces scheduler.py:822-1001 exactly (see each
 function's docstring for the file:line being matched).
@@ -68,19 +73,21 @@ FRONTIER_COLS = [
     "priority", "retries", "retried", "exetime", "age", "itag",
     "force_update", "auto_recrawl", "cancel", "callback",
     "lastcrawltime", "updatetime", "seq", "lease_expires",
+    "save", "last_etag",
 ]
+
+FRONTIER_SCHEMA = (
+    "taskid string, project string, url string, host string,"
+    " host_bucket int, status int, priority int, retries int,"
+    " retried int, exetime double, age long, itag string,"
+    " force_update boolean, auto_recrawl boolean, cancel boolean,"
+    " callback string, lastcrawltime double, updatetime double,"
+    " seq long, lease_expires double, save string, last_etag string"
+)
 
 
 def empty_frontier(spark) -> DataFrame:
-    schema = (
-        "taskid string, project string, url string, host string,"
-        " host_bucket int, status int, priority int, retries int,"
-        " retried int, exetime double, age long, itag string,"
-        " force_update boolean, auto_recrawl boolean, cancel boolean,"
-        " callback string, lastcrawltime double, updatetime double,"
-        " seq long, lease_expires double"
-    )
-    return spark.createDataFrame([], schema)
+    return spark.createDataFrame([], FRONTIER_SCHEMA)
 
 
 def normalize_incoming(incoming: DataFrame, now: float) -> DataFrame:
@@ -100,6 +107,7 @@ def normalize_incoming(incoming: DataFrame, now: float) -> DataFrame:
         "auto_recrawl": F.lit(False),
         "cancel": F.lit(False),
         "callback": F.lit("index_page"),
+        "save": F.lit(None).cast("string"),
     }
     out = incoming
     for name, default in defaults.items():
@@ -111,6 +119,7 @@ def normalize_incoming(incoming: DataFrame, now: float) -> DataFrame:
     out = out.withColumn("lastcrawltime", F.lit(None).cast("double"))
     out = out.withColumn("updatetime", F.lit(float(now)))
     out = out.withColumn("lease_expires", F.lit(None).cast("double"))
+    out = out.withColumn("last_etag", F.lit(None).cast("string"))
     return out.select(*FRONTIER_COLS)
 
 
@@ -159,6 +168,17 @@ def apply_inqueue_limit(
     )
 
 
+def restart_flags(itag_new, itag_old, age, lastcrawltime, force_update, now: float):
+    """The on_old_request restart decision table (scheduler.py:849-877):
+    restart iff itag changed | age expired | force_update.  Returns
+    (itag_changed, age_expired, restart) Columns.  Shared by
+    ``merge_incoming`` and the oracle query ``q_restart_decision`` so a
+    regression here flips a CORRECTNESS row."""
+    itag_changed = itag_new.isNotNull() & ~itag_new.eqNullSafe(itag_old)
+    age_expired = (age >= 0) & (age + lastcrawltime < F.lit(float(now)))
+    return itag_changed, age_expired, (itag_changed | age_expired | force_update)
+
+
 def merge_incoming(
     frontier: DataFrame,
     incoming: DataFrame,
@@ -189,6 +209,7 @@ def merge_incoming(
         F.col("itag").alias("_o_itag"),
         F.col("lastcrawltime").alias("_o_lastcrawltime"),
         F.col("lease_expires").alias("_o_lease"),
+        F.col("last_etag").alias("_o_last_etag"),
     )
     j = inc.join(
         old,
@@ -200,12 +221,14 @@ def merge_incoming(
     in_flight = F.col("_o_lease").isNotNull() & (F.col("_o_lease") > F.lit(float(now)))
     postponed = (~is_new) & F.col("force_update") & in_flight
 
-    itag_changed = F.col("itag").isNotNull() & ~F.col("itag").eqNullSafe(F.col("_o_itag"))
-    age_expired = (F.col("age") >= 0) & (
-        F.col("age") + F.coalesce(F.col("_o_lastcrawltime"), F.lit(0.0))
-        < F.lit(float(now))
+    _, _, restart = restart_flags(
+        F.col("itag"),
+        F.col("_o_itag"),
+        F.col("age"),
+        F.coalesce(F.col("_o_lastcrawltime"), F.lit(0.0)),
+        F.col("force_update"),
+        now,
     )
-    restart = itag_changed | age_expired | F.col("force_update")
 
     accepted = j.filter(~postponed & (is_new | restart))
     deferred = j.filter(postponed).select(*inc.columns)
@@ -217,8 +240,11 @@ def merge_incoming(
         )
         # a restart of an in-flight task must not clear the live lease
         # (reference: task_queue.put is a no-op while the taskid sits in
-        # the processing queue — task_queue.py:226-231)
+        # the processing queue — task_queue.py:226-231); the conditional-
+        # fetch etag likewise survives restarts (track headers persist
+        # until the next fetch — tornado_fetcher.py:273-281)
         .withColumn("lease_expires", F.col("_o_lease"))
+        .withColumn("last_etag", F.col("_o_last_etag"))
         .select(*FRONTIER_COLS)
     )
 
@@ -314,6 +340,7 @@ def select_batch(
     loop_limit: int = LOOP_LIMIT,
     n_salts: int = 8,
     salt_threshold: int = 10000,
+    project_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Politeness-budgeted, priority-ordered select (W1+W2+W3+W4).
 
@@ -331,6 +358,10 @@ def select_batch(
     Per-project fairness (scheduler.py:478-536, W3): quota_p =
     clamp(loop_limit · qsize_p/Σqsize, loop_limit/10, loop_limit/3)
     when >1 project, then a global seq-ordered cap at loop_limit.
+    ``project_budgets`` (project, budget) — the per-project rate/burst
+    token bucket from projectdb (scheduler.py:506-536 value_q limiting,
+    projectdb.py:21-22) — caps each project's selects on top of the
+    fairness quota when provided.
 
     Returns (selected, budgets_used) where selected carries the fetch
     lease (exetime = now + 600 — task_queue.py:227-242) and
@@ -386,23 +417,23 @@ def select_batch(
     qrows = qsizes.collect()  # one row per project — dim-sized, one job
     total = sum(r["_qsize"] for r in qrows)
     nproj = len(qrows)
+    cap = None
     if nproj > 1 and total > 0:
-        min_q, max_q = int(loop_limit / 10.0), int(loop_limit / 3.0)
-        quota = qsizes.withColumn(
-            "_quota",
-            F.greatest(
-                F.lit(min_q),
-                F.least(
-                    F.lit(max_q),
-                    (F.col("_qsize") / F.lit(float(total)) * loop_limit).cast("int"),
-                ),
-            ),
-        ).select("project", "_quota")
+        quota = project_quotas(qsizes, total, loop_limit).select("project", "_quota")
+        per_host = per_host.join(F.broadcast(quota), "project", "left")
+        cap = F.col("_quota")
+    if project_budgets is not None:
+        pb = project_budgets.select(
+            "project", F.col("budget").alias("_pbudget")
+        )
+        per_host = per_host.join(F.broadcast(pb), "project", "left")
+        b = F.coalesce(F.col("_pbudget"), F.lit(0))
+        cap = b if cap is None else F.least(cap, b)
+    if cap is not None:
         wp = Window.partitionBy("project").orderBy(*order)
         per_host = (
-            per_host.join(F.broadcast(quota), "project", "left")
-            .withColumn("_rnp", F.row_number().over(wp))
-            .filter(F.col("_rnp") <= F.col("_quota"))
+            per_host.withColumn("_rnp", F.row_number().over(wp))
+            .filter(F.col("_rnp") <= cap)
         )
     if total > loop_limit:
         # The global LOOP_LIMIT cap can bind: deterministic top-k via
@@ -424,6 +455,47 @@ def select_batch(
         .select("host", "n_selected", "tokens_avail", "rate", "burst")
     )
     return selected, used
+
+
+def project_quotas(qsizes: DataFrame, total: int, loop_limit: int) -> DataFrame:
+    """Per-project select quota ∝ queue size with clamps
+    (scheduler.py:483-523; A5/W3): quota = clamp(loop_limit·w/Σw,
+    loop_limit/10, loop_limit/3).  ``qsizes`` needs (project, _qsize);
+    adds ``_quota``.  Shared by ``select_batch`` and the oracle query
+    ``q_select_quota``."""
+    min_q, max_q = int(loop_limit / 10.0), int(loop_limit / 3.0)
+    return qsizes.withColumn(
+        "_quota",
+        F.greatest(
+            F.lit(min_q),
+            F.least(
+                F.lit(max_q),
+                (F.col("_qsize") / F.lit(float(total)) * loop_limit).cast("int"),
+            ),
+        ),
+    )
+
+
+def trailing_fail_streak(
+    statuses: DataFrame, key: str = "project", seq_col: str = "seq", ok_col: str = "ok"
+) -> DataFrame:
+    """Consecutive trailing failures per key (Project.paused streak,
+    scheduler.py:52-103; A10): the number of failed rows ordered after
+    the last ok row.  Keys whose latest row is ok are absent (streak 0).
+    Shared by the engine pause machine and the oracle query
+    ``q_fail_streak``."""
+    last_ok = statuses.groupBy(key).agg(
+        F.max(F.when(F.col(ok_col), F.col(seq_col))).alias("_last_ok")
+    )
+    return (
+        statuses.join(last_ok, key, "left")
+        .filter(
+            (~F.col(ok_col))
+            & (F.col("_last_ok").isNull() | (F.col(seq_col) > F.col("_last_ok")))
+        )
+        .groupBy(key)
+        .agg(F.count("*").alias("fail_streak"))
+    )
 
 
 def update_token_state(token_state: DataFrame, used: DataFrame, now: float) -> DataFrame:
@@ -449,6 +521,7 @@ def with_global_rank(
     approx_rows: int | None = None,
     n_parts: int | None = None,
     small_threshold: int = 100_000,
+    cache_list: list | None = None,
 ) -> DataFrame:
     """Deterministic global ``row_number`` by ``order`` without the
     single-partition-window trap.
@@ -472,6 +545,16 @@ def with_global_rank(
     rp = df.repartitionByRange(parts, *order).withColumn(
         "_grk_pid", F.spark_partition_id()
     )
+    # Persist BEFORE collecting per-partition counts: the range
+    # partitioner samples the sort key with a per-job seed (and AQE may
+    # re-coalesce), so an unpersisted rp could partition DIFFERENTLY in
+    # the downstream job than in the count job — duplicate/missing seq
+    # ranks.  The cache pins one physical partitioning for both reads;
+    # the count job below materializes it.  Callers pass ``cache_list``
+    # to unpersist after the ranked output is materialized.
+    rp = rp.persist()
+    if cache_list is not None:
+        cache_list.append(rp)
     cnts = {
         r["_grk_pid"]: r["cnt"]
         for r in rp.groupBy("_grk_pid").agg(F.count("*").alias("cnt")).collect()
@@ -501,12 +584,48 @@ def with_global_rank(
 # --------------------------------------------------------------------------
 
 
+def retry_next_exetime(recrawl) -> F.Column:
+    """Retry-ladder delay math (on_task_failed scheduler.py:948-1001 +
+    DEFAULT_RETRY_DELAY :156-162; W5) over columns (retried, retries,
+    age): RETRY_DELAYS[retried] (default 24 h), capped by age, -1 when
+    retries are exhausted; auto_recrawl (``recrawl`` column) caps by age
+    before the terminal check.  Shared by ``apply_status`` and the
+    oracle query ``q_retry_backoff``."""
+    delay_map = F.create_map(
+        *[x for i, d in enumerate(RETRY_DELAYS) for x in (F.lit(i), F.lit(d))]
+    )
+    raw = F.coalesce(
+        F.element_at(delay_map, F.col("retried")), F.lit(RETRY_DELAY_DEFAULT)
+    ).cast("double")
+    has_age = F.col("age") >= 0
+    return (
+        F.when(recrawl, F.least(raw, F.col("age").cast("double")))
+        .when(F.col("retried") >= F.col("retries"), F.lit(-1.0))
+        .when(has_age & (raw > F.col("age")), F.col("age").cast("double"))
+        .otherwise(raw)
+    )
+
+
+def recrawl_rearm(now: float):
+    """auto_recrawl re-arm on success (scheduler.py:929-936; W6) over
+    columns (auto_recrawl, age, exetime): re-arm keeps the task ACTIVE
+    with exetime = now + age, otherwise terminal SUCCESS.  Returns
+    (status, exetime) Columns; shared by ``apply_status`` and the
+    oracle query ``q_recrawl_rearm``."""
+    rearm = F.col("auto_recrawl") & (F.col("age") >= 0)
+    status = F.when(rearm, F.lit(ACTIVE)).otherwise(F.lit(SUCCESS))
+    exetime = F.when(rearm, F.lit(float(now)) + F.col("age")).otherwise(F.col("exetime"))
+    return status, exetime
+
+
 def apply_status(frontier: DataFrame, statuses: DataFrame, now: float) -> DataFrame:
     """Fold fetch+process outcomes back into the frontier
     (on_task_done scheduler.py:924-946 + on_task_failed :948-1001).
 
-    statuses: (project, taskid, ok:boolean) for every task whose lease
-    was taken this epoch.
+    statuses: (project, taskid, ok:boolean [, etag:string]) for every
+    task whose lease was taken this epoch; a non-null etag on a
+    successful fetch is stored as last_etag for the next conditional
+    fetch (tornado_fetcher.py:273-281).
 
     done:   status=SUCCESS, lastcrawltime=now; auto_recrawl ∧ age set ->
             stays ACTIVE with exetime = now + age (W6)
@@ -522,6 +641,9 @@ def apply_status(frontier: DataFrame, statuses: DataFrame, now: float) -> DataFr
         F.col("project").alias("_s_project"),
         F.col("taskid").alias("_s_taskid"),
         F.col("ok").alias("_ok"),
+        (
+            F.col("etag") if "etag" in statuses.columns else F.lit(None).cast("string")
+        ).alias("_s_etag"),
     )
     j = frontier.join(
         st,
@@ -530,24 +652,9 @@ def apply_status(frontier: DataFrame, statuses: DataFrame, now: float) -> DataFr
     )
 
     nowl = F.lit(float(now))
-    delay_map = F.create_map(
-        *[x for i, d in enumerate(RETRY_DELAYS) for x in (F.lit(i), F.lit(d))]
-    )
-    next_exe_raw = F.coalesce(
-        F.element_at(delay_map, F.col("retried")), F.lit(RETRY_DELAY_DEFAULT)
-    ).cast("double")
-    has_age = F.col("age") >= 0
-    recrawl = F.col("auto_recrawl") & has_age
-
-    next_exe = (
-        F.when(recrawl, F.least(next_exe_raw, F.col("age").cast("double")))
-        .when(F.col("retried") >= F.col("retries"), F.lit(-1.0))
-        .when(has_age & (next_exe_raw > F.col("age")), F.col("age").cast("double"))
-        .otherwise(next_exe_raw)
-    )
-
-    done_status = F.when(recrawl, F.lit(ACTIVE)).otherwise(F.lit(SUCCESS))
-    done_exetime = F.when(recrawl, nowl + F.col("age")).otherwise(F.col("exetime"))
+    recrawl = F.col("auto_recrawl") & (F.col("age") >= 0)
+    next_exe = retry_next_exetime(recrawl)
+    done_status, done_exetime = recrawl_rearm(now)
 
     fail_terminal = next_exe < 0
     fail_status = F.when(fail_terminal, F.lit(FAILED)).otherwise(F.lit(ACTIVE))
@@ -561,6 +668,11 @@ def apply_status(frontier: DataFrame, statuses: DataFrame, now: float) -> DataFr
         .withColumn("lastcrawltime", nowl)
         .withColumn("updatetime", nowl)
         .withColumn("lease_expires", F.lit(None).cast("double"))
+        .withColumn(
+            "last_etag",
+            F.when(F.col("_ok") & F.col("_s_etag").isNotNull(), F.col("_s_etag"))
+            .otherwise(F.col("last_etag")),
+        )
         .select(*FRONTIER_COLS)
     )
     return upsert(frontier, changed)

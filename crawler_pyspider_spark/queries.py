@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crawler_pyspider_spark.operators import frontier as FR
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -47,40 +49,58 @@ def q_status_count(spark, sf_dir):
 
 
 def q_frontier_rank(spark, sf_dir):
-    """W1 — priority/FIFO ranking (task_queue.py:55-66): top-3 per key
-    by priority DESC, sequence ASC."""
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", F.round("value", 2).alias("priority"), "rn")
+    """W1/W2 — priority/FIFO ranking through the REAL select stage
+    (operators/frontier.py select_batch; task_queue.py:55-66 ordering):
+    events become ACTIVE frontier rows (host = user, priority =
+    floor(value·100), seq = event_id); per-host politeness burst=3 ⇒
+    the operator's budget window keeps the top-3 per host by
+    priority DESC, seq ASC.  A ranking regression in select_batch flips
+    this CORRECTNESS row."""
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), F.col("user_id").cast("string"))
+    tasks = FR.normalize_incoming(
+        e.select(
+            F.col("event_id").cast("string").alias("taskid"),
+            F.lit("p").alias("project"),
+            F.concat(host, F.lit("/"), F.col("event_id").cast("string")).alias("url"),
+            host.alias("host"),
+            F.lit(0).cast("int").alias("host_bucket"),
+            F.floor(F.col("value") * 100).cast("int").alias("priority"),
+            F.col("event_id").alias("seq"),
+        ),
+        now=0.0,
+    )
+    pol = (
+        e.select(host.alias("key")).distinct()
+        .withColumn("rate", F.lit(0.0))
+        .withColumn("burst", F.lit(3.0))
+    )
+    selected, _ = FR.select_batch(
+        tasks, FR.empty_token_state(spark), pol, now=1.0, loop_limit=1 << 40
+    )
+    return selected.select(
+        F.regexp_replace("host", "^h", "").cast("long").alias("user_id"),
+        F.col("taskid").cast("long").alias("event_id"),
+        F.col("priority").alias("priority"),
     )
 
 
 def q_retry_backoff(spark, sf_dir):
-    """W5 — retry ladder CASE math (scheduler.py:948-1001 +
-    DEFAULT_RETRY_DELAY :156-162): next_exetime from retried count,
-    capped by age, terminal -1 past retries."""
+    """W5 — the REAL retry ladder (operators/frontier.py
+    retry_next_exetime, the expression apply_status folds into the
+    frontier; scheduler.py:948-1001 + DEFAULT_RETRY_DELAY :156-162):
+    next_exetime from retried count, capped by age, terminal -1 past
+    retries."""
     e = _t(spark, sf_dir, "events").select(
         "event_id",
         (F.col("event_id") % 6).cast("int").alias("retried"),
         F.lit(3).alias("retries"),
         F.when(F.col("user_id") % 2 == 0, F.lit(7200)).otherwise(F.lit(-1)).alias("age"),
     )
-    ladder = (
-        F.when(F.col("retried") == 0, 30.0)
-        .when(F.col("retried") == 1, 3600.0)
-        .when(F.col("retried") == 2, 6 * 3600.0)
-        .when(F.col("retried") == 3, 12 * 3600.0)
-        .otherwise(24 * 3600.0)
+    return e.select(
+        "event_id", "retried", "age",
+        FR.retry_next_exetime(F.lit(False)).alias("next_exetime"),
     )
-    next_exe = (
-        F.when(F.col("retried") >= F.col("retries"), -1.0)
-        .when((F.col("age") >= 0) & (ladder > F.col("age")), F.col("age").cast("double"))
-        .otherwise(ladder)
-    )
-    return e.select("event_id", "retried", "age", next_exe.alias("next_exetime"))
 
 
 def q_queue_merge(spark, sf_dir):
@@ -98,14 +118,19 @@ def q_queue_merge(spark, sf_dir):
 
 
 def q_batch_dedup(spark, sf_dir):
-    """A2 — within-batch dedup, first-by-sequence wins
-    (scheduler.py:388-418)."""
-    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id")
+    """A2 — within-batch dedup through the REAL operator
+    (operators/frontier.py dedup_batch; scheduler.py:388-418):
+    first-by-sequence wins per (project, taskid)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("project"),
+        F.col("event_type").alias("taskid"),
+        F.col("event_id").alias("seq"),
+        F.lit(False).alias("force_update"),
+    )
+    return FR.dedup_batch(e).select(
+        F.col("project").cast("long").alias("user_id"),
+        F.col("taskid").alias("event_type"),
+        F.col("seq").alias("event_id"),
     )
 
 
@@ -137,33 +162,38 @@ def q_select_quota(spark, sf_dir):
     """A5/W3 — per-project select quota ∝ queue size with clamps
     (scheduler.py:483-523): quota = clamp(1000·w/Σw, 100, 333).
 
-    The grand total is a scalar aggregate broadcast back onto the
-    per-key rows — NOT a global window (which would sort every row in
-    one partition; WindowExec warns about exactly that)."""
-    e = _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("qsize"))
-    tot = e.agg(F.sum("qsize").alias("total"))
-    return e.crossJoin(F.broadcast(tot)).select(
-        "user_id",
-        "qsize",
-        F.greatest(
-            F.lit(100),
-            F.least(
-                F.lit(333),
-                (F.col("qsize").cast("double") / F.col("total") * 1000).cast("int"),
-            ),
-        ).alias("quota"),
+    Routed through the REAL quota operator (operators/frontier.py
+    project_quotas — the expression select_batch applies); the grand
+    total is a scalar, not a global window."""
+    q = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("project"))
+        .agg(F.count("*").alias("_qsize"))
+    )
+    total = q.agg(F.sum("_qsize")).collect()[0][0]
+    return FR.project_quotas(q, int(total), 1000).select(
+        F.col("project").alias("user_id"),
+        F.col("_qsize").alias("qsize"),
+        F.col("_quota").alias("quota"),
     )
 
 
 def q_inqueue_overflow(spark, sf_dir):
-    """F9 — INQUEUE_LIMIT overflow gate (scheduler.py:823-826): queues
-    under the limit admit new tasks, the rest drop them.  Keyed by
-    (user_id, event_type) so the limit actually splits the groups."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id", "event_type")
-        .agg(F.count("*").alias("qsize"))
-        .filter(F.col("qsize") < 14)
+    """F9 — INQUEUE_LIMIT admission through the REAL operator
+    (operators/frontier.py apply_inqueue_limit; scheduler.py:823-826):
+    rows with value>150 form the ACTIVE queue per project, every third
+    event arrives, and the seq-ordered batch prefix is admitted up to
+    limit − qsize."""
+    e = _t(spark, sf_dir, "events")
+    key = F.concat(F.col("user_id").cast("string"), F.lit("|"), F.col("event_type"))
+    frontier = e.filter(F.col("value") > 150).select(
+        key.alias("project"), F.lit(FR.ACTIVE).cast("int").alias("status")
+    )
+    incoming = e.filter(F.col("event_id") % 3 == 0).select(
+        key.alias("project"), F.col("event_id").alias("seq")
+    )
+    return FR.apply_inqueue_limit(incoming, frontier, 14).select(
+        "project", F.col("seq").alias("event_id")
     )
 
 
@@ -471,30 +501,51 @@ def q_ann_cosine_topk(spark, sf_dir):
     return scored.orderBy(F.desc("dot_q"), F.asc("vec_id")).limit(10)
 
 
-def q_ann_lsh_buckets(spark, sf_dir):
-    """LSH-bucketed ANN scale path: sign-random-projection bucket key
-    from 8 deterministic hyperplanes (hash-derived ±1 components), so
-    candidate search is a bucket equi-join instead of O(n²).
-    Output: vec_id -> bucket key."""
-    emb = _t(spark, sf_dir, "embeddings")
-    # hyperplane j component i = +1 if md5int(j|i) odd else -1
-    def plane_sign(j):
-        idx = F.sequence(F.lit(0), F.size(F.col("embedding")) - 1)
+def _srp_plane_dots(qcol, n_planes: int = 8) -> list:
+    """Sign-random-projection dot products over an integer-quantized
+    vector column: hyperplane j component i = +1 if md5int(j|i) odd
+    else -1; the dot is exact int64 math, so the sign (and therefore
+    every bucket key) is bit-identical across engines."""
+    def plane_dot(j):
+        idx = F.sequence(F.lit(0), F.size(qcol) - 1)
         comp = F.transform(
             idx,
             lambda i: F.when(
                 md5int(F.concat(F.lit(str(j)), F.lit("|"), i.cast("string"))) % 2 == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
         )
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), comp, lambda e, c: e.cast("double") * c),
-            F.lit(0.0),
+        return F.aggregate(
+            F.zip_with(qcol, comp, lambda e, c: e * c),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
 
-    bucket = sum((plane_sign(j) * (2 ** j) for j in range(8)), F.lit(0))
+    return [plane_dot(j) for j in range(n_planes)]
+
+
+def _srp_dot_sql(j: str | int, qname: str = "q") -> str:
+    """DuckDB mirror of one _srp_plane_dots element."""
+    return (
+        f"CAST(list_sum(list_transform(range(len({qname})), i -> {qname}[i+1] * "
+        f"(CASE WHEN CAST(('0x' || substr(md5('{j}' || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END))) AS BIGINT)"
+    )
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """LSH-bucketed ANN scale path: sign-random-projection bucket key
+    from 8 deterministic hyperplanes over the ×1000-quantized embedding
+    (integer dot ⇒ exact sign across engines), so candidate search is a
+    bucket equi-join instead of O(n²).  Output: vec_id -> bucket key."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long")).alias("q"),
+    )
+    dots = _srp_plane_dots(F.col("q"))
+    bucket = sum(
+        ((d > 0).cast("int") * (2 ** j) for j, d in enumerate(dots)), F.lit(0)
+    )
     return emb.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
@@ -630,22 +681,28 @@ NOW_RESTART = 1705708800.0  # 2024-01-20T00:00:00Z
 
 
 def q_token_bucket(spark, sf_dir):
-    """W2 — token-bucket refill math (scheduler/token_bucket.py:15-55):
-    tokens' = min(burst, tokens + rate·Δt); budget = floor(tokens').
-    Pure column arithmetic — the politeness budget is computed for every
-    host in one codegen'd projection, no shuffle at all."""
+    """W2 — token-bucket refill through the REAL operator
+    (operators/frontier.py host_budgets, the politeness stage of
+    select_batch; token_bucket.py:15-55): every event becomes a host
+    whose carried token state last updated Δt ago; the operator refills
+    tokens' = min(burst, tokens + rate·Δt) and floors the budget."""
     e = _t(spark, sf_dir, "events").select(
-        "event_id",
+        F.col("event_id").cast("string").alias("host"),
         (F.col("event_id") % 5 + 1).cast("double").alias("rate"),
         ((F.col("event_id") % 5 + 1) * 10).cast("double").alias("burst"),
         (F.col("value") % 10).alias("tokens"),
         (F.col("event_id") % 20).cast("double").alias("dt"),
     )
-    refill = F.least(F.col("burst"), F.col("tokens") + F.col("rate") * F.col("dt"))
-    return e.select(
-        "event_id",
-        F.round(refill, 2).alias("tokens_avail"),
-        F.floor(refill).cast("long").alias("budget"),
+    budgets = FR.host_budgets(
+        e.select("host"),
+        e.select("host", "tokens", (F.lit(NOW_LEASE) - F.col("dt")).alias("last_update")),
+        e.select(F.col("host").alias("key"), "rate", "burst"),
+        NOW_LEASE,
+    )
+    return budgets.select(
+        F.col("host").cast("long").alias("event_id"),
+        F.round("tokens_avail", 2).alias("tokens_avail"),
+        F.col("budget").cast("long").alias("budget"),
     )
 
 
@@ -655,18 +712,16 @@ def q_lease_release(spark, sf_dir):
     exetime has arrived AND any fetch lease has expired."""
     e = _t(spark, sf_dir, "events").select(
         "event_id",
+        F.lit(FR.ACTIVE).cast("int").alias("status"),
         F.unix_timestamp("ts").cast("double").alias("exetime"),
         F.when(
             F.col("event_id") % 5 == 0,
             F.unix_timestamp("ts").cast("double") + 600.0,
         ).alias("lease_expires"),
     )
-    now = F.lit(NOW_LEASE)
-    ready = (
-        (F.col("exetime") <= now)
-        & (F.col("lease_expires").isNull() | (F.col("lease_expires") <= now))
-    )
-    return e.select("event_id", "exetime", ready.alias("ready"))
+    # the REAL select-stage predicate (operators/frontier.py
+    # ready_filter) evaluated as a column
+    return e.select("event_id", "exetime", FR.ready_filter(NOW_LEASE).alias("ready"))
 
 
 def q_restart_decision(spark, sf_dir):
@@ -682,16 +737,22 @@ def q_restart_decision(spark, sf_dir):
         F.unix_timestamp("ts").cast("double").alias("lastcrawltime"),
         (F.col("event_id") % 7 == 0).alias("force_update"),
     )
-    itag_changed = F.col("itag_new").isNotNull() & (F.col("itag_new") != F.col("itag_old"))
-    age_expired = (F.col("age") >= 0) & (
-        F.col("lastcrawltime") + F.col("age") < F.lit(NOW_RESTART)
+    # the REAL decision-table expressions (operators/frontier.py
+    # restart_flags, shared with merge_incoming)
+    itag_changed, age_expired, restart = FR.restart_flags(
+        F.col("itag_new"),
+        F.col("itag_old"),
+        F.col("age"),
+        F.col("lastcrawltime"),
+        F.col("force_update"),
+        NOW_RESTART,
     )
     return e.select(
         "event_id",
         itag_changed.alias("itag_changed"),
         age_expired.alias("age_expired"),
         "force_update",
-        (itag_changed | age_expired | F.col("force_update")).alias("restart"),
+        restart.alias("restart"),
     )
 
 
@@ -704,17 +765,21 @@ def q_fail_streak(spark, sf_dir):
     last10 = (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
-        .withColumn("is_fail", (F.col("event_type") == "error").cast("int"))
+        .select("user_id", "event_id", (F.col("event_type") != "error").alias("ok"))
     )
-    return last10.groupBy("user_id").agg(
-        F.coalesce(
-            F.min(F.when(F.col("is_fail") == 0, F.col("rn"))) - 1, F.count("*")
-        ).cast("long").alias("fail_streak"),
-        (
-            F.coalesce(
-                F.min(F.when(F.col("is_fail") == 0, F.col("rn"))) - 1, F.count("*")
-            ) >= 3
-        ).alias("would_pause"),
+    # the REAL streak operator (operators/frontier.py
+    # trailing_fail_streak, shared with the engine pause machine)
+    streaks = FR.trailing_fail_streak(
+        last10, key="user_id", seq_col="event_id", ok_col="ok"
+    )
+    return (
+        e.select("user_id").distinct()
+        .join(streaks, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("fail_streak"), F.lit(0)).cast("long").alias("fail_streak"),
+        )
+        .withColumn("would_pause", F.col("fail_streak") >= 3)
     )
 
 
@@ -727,16 +792,107 @@ def q_recrawl_rearm(spark, sf_dir):
         "event_id",
         (F.col("event_id") % 2 == 0).alias("auto_recrawl"),
         F.when(F.col("user_id") % 3 == 0, F.lit(1800)).otherwise(F.lit(-1)).alias("age"),
+        F.lit(None).cast("double").alias("exetime"),
     )
-    rearm = F.col("auto_recrawl") & (F.col("age") >= 0)
+    # the REAL re-arm expressions (operators/frontier.py recrawl_rearm,
+    # shared with apply_status); ACTIVE=1 / SUCCESS=2 are next_status
+    status, exetime = FR.recrawl_rearm(NOW_LEASE)
     return e.select(
         "event_id",
         "auto_recrawl",
         "age",
-        F.when(rearm, F.lit(1)).otherwise(F.lit(2)).alias("next_status"),
-        F.when(rearm, (F.lit(NOW_LEASE) + F.col("age")).cast("long")).alias(
-            "next_exetime"
+        status.alias("next_status"),
+        exetime.cast("long").alias("next_exetime"),
+    )
+
+
+def q_merge_frontier(spark, sf_dir):
+    """J1+S3 end-to-end — the REAL merge_incoming over a synthesized
+    frontier and arrival batch (scheduler.py:822-897): every third event
+    has a stored SUCCESS task (exetime=100, itag v1); all events arrive
+    (itag v2 every fifth, force_update every seventh).  Restarted or new
+    rows come back ACTIVE with the normalized exetime 0; un-restarted
+    old rows keep SUCCESS/100.  A regression anywhere in
+    dedup_batch/restart_flags/upsert flips this row."""
+    e = _t(spark, sf_dir, "events")
+    tid = F.concat(F.lit("t"), F.col("event_id").cast("string"))
+    url = F.concat(F.lit("http://h/"), F.col("event_id").cast("string"))
+    age = F.when(F.col("user_id") % 2 == 0, F.lit(3600)).otherwise(F.lit(-1)).cast("long")
+    frontier = e.filter(F.col("event_id") % 3 == 0).select(
+        tid.alias("taskid"),
+        F.lit("p").alias("project"),
+        url.alias("url"),
+        F.lit("h").alias("host"),
+        F.lit(0).cast("int").alias("host_bucket"),
+        F.lit(FR.SUCCESS).cast("int").alias("status"),
+        F.lit(0).cast("int").alias("priority"),
+        F.lit(FR.DEFAULT_RETRIES).cast("int").alias("retries"),
+        F.lit(0).cast("int").alias("retried"),
+        F.lit(100.0).alias("exetime"),
+        age.alias("age"),
+        F.lit("v1").alias("itag"),
+        F.lit(False).alias("force_update"),
+        F.lit(False).alias("auto_recrawl"),
+        F.lit(False).alias("cancel"),
+        F.lit("index_page").alias("callback"),
+        F.unix_timestamp("ts").cast("double").alias("lastcrawltime"),
+        F.lit(0.0).alias("updatetime"),
+        F.col("event_id").alias("seq"),
+        F.lit(None).cast("double").alias("lease_expires"),
+        F.lit(None).cast("string").alias("save"),
+        F.lit(None).cast("string").alias("last_etag"),
+    )
+    incoming = FR.normalize_incoming(
+        e.select(
+            tid.alias("taskid"),
+            F.lit("p").alias("project"),
+            url.alias("url"),
+            F.lit("h").alias("host"),
+            F.lit(0).cast("int").alias("host_bucket"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("v2")).otherwise(F.lit("v1")).alias("itag"),
+            age.alias("age"),
+            (F.col("event_id") % 7 == 0).alias("force_update"),
         ),
+        now=NOW_RESTART,
+    )
+    merged, _deferred = FR.merge_incoming(frontier, incoming, NOW_RESTART)
+    return merged.select("taskid", "status", "exetime")
+
+
+def q_status_gate(spark, sf_dir):
+    """F6 — non-200 / conditional-fetch gate through the REAL engine
+    expressions (engine.fetch_status_flags; tornado_fetcher.py:273-291,
+    base_handler.py:27-47,161-177, response.py:165-184): a 200 whose
+    page etag matches the stored etag becomes 304; the callback runs on
+    200 (or under @catch_status_code_error); the scheduler sees success
+    on 200|304 (or under catch)."""
+    from crawler_pyspider_spark.engine import fetch_status_flags
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, 404)
+        .when(F.col("event_id") % 10 == 1, 403)
+        .when(F.col("event_id") % 10 == 2, 500)
+        .otherwise(200)
+        .cast("int")
+        .alias("status_code"),
+        F.when(
+            F.col("event_id") % 4 <= 1,
+            F.concat(F.lit("e"), (F.col("event_id") % 3).cast("string")),
+        ).alias("last_etag"),
+        F.concat(F.lit("e"), (F.col("event_id") % 2).cast("string")).alias("page_etag"),
+        (F.col("user_id") % 5 == 0).alias("catch"),
+    )
+    eff, process, fetch_ok = fetch_status_flags(
+        F.col("status_code"), F.col("last_etag"), F.col("page_etag"), F.col("catch")
+    )
+    return e.select(
+        "event_id",
+        "status_code",
+        eff.alias("eff_status"),
+        process.alias("process"),
+        fetch_ok.alias("fetch_ok"),
     )
 
 
@@ -872,11 +1028,14 @@ def q_link_extract(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: integer-quantized (×100) dot and
-    squared norms so cos ≥ 0.3 becomes exact int64 math
-    (dot² · 10⁴ ≥ 900 · |a|² · |b|²) — bit-identical across engines.
-    Scale path: replace the O(n²) pair join with the LSH buckets of
-    q_ann_lsh_buckets and join within buckets only."""
+    """Embedding-cosine near-dup pairs, EXACT all-pairs form: integer-
+    quantized (×100) dot and squared norms so cos ≥ 0.3 becomes exact
+    int64 math (dot² · 10⁴ ≥ 900 · |a|² · |b|²) — bit-identical across
+    engines.  This O(n²) form is the bounded small-scale ORACLE of the
+    dedup family (like q_ngram_jaccard_pairs); the 10^8-vector scale
+    path is q_dedup_embedding_lsh (band bucket join, no all-pairs),
+    whose recall against this exact set is measured in
+    tests/test_extract.py."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.select(
         "vec_id",
@@ -896,6 +1055,62 @@ def q_dedup_embedding(spark, sf_dir):
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
+    )
+    return pairs.filter(
+        (F.col("dot") > 0)
+        & (F.col("dot") * F.col("dot") * 10000 >= F.lit(900) * F.col("na2") * F.col("nb2"))
+    ).select("va", "vb", "dot")
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup, SCALE form: SRP-LSH candidate generation
+    (4 bands × 2 hyperplanes over the ×100-quantized vector) → bucket
+    equi-join → exact integer cosine recheck (same predicate as
+    q_dedup_embedding).  No O(n²) stage: the band join only pairs
+    vectors agreeing on a 2-bit sketch, and precision is 1.0 by
+    construction (every candidate is re-checked exactly).  Recall vs the
+    exact pair set is probabilistic (≈1-(1-p²)⁴ per pair, p = 1-θ/π) —
+    100% recall at cos≥0.3 is impossible for any sub-quadratic LSH, so
+    the exact query stays as the bounded oracle and the measured recall
+    is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x * 100).cast("long")).alias("q"),
+    ).withColumn(
+        "n2",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    )
+    dots = _srp_plane_dots(F.col("q"))
+    bits = [(d > 0).cast("int") for d in dots]
+    band_cols = [
+        (F.lit(k * 4) + bits[2 * k] * 2 + bits[2 * k + 1]).alias("band")
+        for k in range(4)
+    ]
+    bands = None
+    for bc in band_cols:
+        sel = qv.select("vec_id", bc)
+        bands = sel if bands is None else bands.unionByName(sel)
+    cand = (
+        bands.select(F.col("vec_id").alias("va"), "band")
+        .join(bands.select(F.col("vec_id").alias("vb"), "band"), "band")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    a = qv.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("n2").alias("na2"))
+    b = qv.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("n2").alias("nb2"))
+    pairs = (
+        cand.join(a, "va")
+        .join(b, "vb")
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
     return pairs.filter(
         (F.col("dot") > 0)
@@ -975,12 +1190,15 @@ QUERIES = {
     "restart_decision": q_restart_decision,
     "fail_streak": q_fail_streak,
     "recrawl_rearm": q_recrawl_rearm,
+    "merge_frontier": q_merge_frontier,
+    "status_gate": q_status_gate,
     "cron_due": q_cron_due,
     "common_fields": q_common_fields,
     "url_canon": q_url_canon,
     "robots_filter": q_robots_filter,
     "link_extract": q_link_extract,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "binary_meta": q_binary_meta,
     "media_features": q_media_features,
 }
@@ -991,10 +1209,12 @@ ORACLE_SQL = {
         SELECT event_type AS status, count(*) AS cnt FROM events GROUP BY 1
     """,
     "frontier_rank": """
-        SELECT user_id, event_id, round(value, 2) AS priority, rn FROM (
-            SELECT user_id, event_id, value,
+        SELECT user_id, event_id, priority FROM (
+            SELECT user_id, event_id,
+                   CAST(floor(value * 100) AS INT) AS priority,
                    row_number() OVER (PARTITION BY user_id
-                                      ORDER BY value DESC, event_id ASC) AS rn
+                                      ORDER BY floor(value * 100) DESC,
+                                               event_id ASC) AS rn
             FROM events
         ) WHERE rn <= 3
     """,
@@ -1048,8 +1268,21 @@ ORACLE_SQL = {
         FROM t
     """,
     "inqueue_overflow": """
-        SELECT user_id, event_type, count(*) AS qsize FROM events
-        GROUP BY 1, 2 HAVING count(*) < 14
+        WITH q AS (
+            SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS project,
+                   count(*) AS qsize
+            FROM events WHERE value > 150 GROUP BY 1
+        ), arr AS (
+            SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS project,
+                   event_id,
+                   row_number() OVER (
+                       PARTITION BY CAST(user_id AS VARCHAR) || '|' || event_type
+                       ORDER BY event_id) AS arn
+            FROM events WHERE event_id % 3 = 0
+        )
+        SELECT a.project, a.event_id
+        FROM arr a LEFT JOIN q USING (project)
+        WHERE a.arn <= 14 - coalesce(q.qsize, 0)
     """,
     "seen_antijoin": """
         SELECT event_id, user_id, event_type FROM events e
@@ -1106,11 +1339,13 @@ ORACLE_SQL = {
         ), s AS (
             SELECT user_id,
                    CASE WHEN prev_ts IS NULL
-                             OR date_part('epoch', ts) - date_part('epoch', prev_ts) > 1800
+                             OR floor(date_part('epoch', ts))
+                                - floor(date_part('epoch', prev_ts)) > 1800
                         THEN 1 ELSE 0 END AS new_sess
             FROM l
         )
-        SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM s GROUP BY 1
     """,
     "tpch_pricing": """
@@ -1201,7 +1436,8 @@ ORACLE_SQL = {
             GROUP BY doc_id, b.b
         )
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
     """,
     "ngram_jaccard_pairs": """
@@ -1239,13 +1475,24 @@ ORACLE_SQL = {
             FROM embeddings WHERE vec_id = 0
         )
         SELECT vec_id, label,
-               list_sum(list_transform(
+               CAST(list_sum(list_transform(
                    list_zip(e.embedding, q.q),
                    p -> CAST(round(p[1] * 1000) AS BIGINT) * p[2]
-               )) AS dot_q
+               )) AS BIGINT) AS dot_q
         FROM embeddings e, q
         WHERE vec_id <> 0
         ORDER BY dot_q DESC, vec_id ASC LIMIT 10
+    """,
+    "ann_lsh_buckets": f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS q
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST({" + ".join(f"(CASE WHEN {_srp_dot_sql(j)} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(8))} AS INT) AS bucket
+        FROM qv
     """,
     "lang_id": """
         WITH t AS (
@@ -1406,6 +1653,52 @@ ORACLE_SQL = {
                     THEN CAST(1705276800 + age AS BIGINT) END AS next_exetime
         FROM e
     """,
+    "merge_frontier": """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   event_id % 3 = 0 AS has_old,
+                   event_id % 5 = 0 AS itag_changed,
+                   CASE WHEN user_id % 2 = 0 THEN 3600 ELSE -1 END AS age,
+                   event_id % 7 = 0 AS force_update,
+                   floor(date_part('epoch', ts)) AS lastcrawltime
+            FROM events
+        ), d AS (
+            SELECT *,
+                   has_old AND NOT (itag_changed
+                        OR (age >= 0 AND age + lastcrawltime < 1705708800.0)
+                        OR force_update) AS keep_old
+            FROM e
+        )
+        SELECT 't' || CAST(event_id AS VARCHAR) AS taskid,
+               CASE WHEN keep_old THEN 2 ELSE 1 END AS status,
+               CAST(CASE WHEN keep_old THEN 100.0 ELSE 0.0 END AS DOUBLE) AS exetime
+        FROM d
+    """,
+    "status_gate": """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CASE WHEN event_id % 10 = 0 THEN 404
+                        WHEN event_id % 10 = 1 THEN 403
+                        WHEN event_id % 10 = 2 THEN 500
+                        ELSE 200 END AS status_code,
+                   CASE WHEN event_id % 4 <= 1
+                        THEN 'e' || CAST(event_id % 3 AS VARCHAR) END AS last_etag,
+                   'e' || CAST(event_id % 2 AS VARCHAR) AS page_etag,
+                   user_id % 5 = 0 AS catch
+            FROM events
+        ), f AS (
+            SELECT *,
+                   CASE WHEN status_code = 200 AND last_etag IS NOT NULL
+                             AND page_etag IS NOT NULL
+                             AND last_etag = page_etag
+                        THEN 304 ELSE status_code END AS eff_status
+            FROM e
+        )
+        SELECT event_id, status_code, eff_status,
+               (eff_status = 200) OR catch AS process,
+               (eff_status = 200) OR (eff_status = 304) OR catch AS fetch_ok
+        FROM f
+    """,
     "cron_due": """
         SELECT event_id,
                CASE WHEN user_id % 3 = 0 THEN 60
@@ -1489,12 +1782,44 @@ ORACLE_SQL = {
             FROM qv
         ), p AS (
             SELECT a.vec_id AS va, b.vec_id AS vb,
-                   list_sum(list_transform(list_zip(a.q, b.q),
-                       t -> t[1] * t[2])) AS dot,
+                   CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                       t -> t[1] * t[2])) AS BIGINT) AS dot,
                    a.n2 AS na2, b.n2 AS nb2
             FROM n a JOIN n b ON a.vec_id < b.vec_id
         )
         SELECT va, vb, dot FROM p
+        WHERE dot > 0 AND dot * dot * 10000 >= 900 * na2 * nb2
+    """,
+    "dedup_embedding_lsh": f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 100) AS BIGINT)) AS q
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, q,
+                   CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2,
+                   {", ".join(f"(CASE WHEN {_srp_dot_sql(j)} > 0 THEN 1 ELSE 0 END) AS b{j}" for j in range(8))}
+            FROM qv
+        ), bands AS (
+            SELECT vec_id, 0 + b0 * 2 + b1 AS band FROM n
+            UNION ALL SELECT vec_id, 4 + b2 * 2 + b3 FROM n
+            UNION ALL SELECT vec_id, 8 + b4 * 2 + b5 FROM n
+            UNION ALL SELECT vec_id, 12 + b6 * 2 + b7 FROM n
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM bands a JOIN bands b USING (band)
+            WHERE a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT va, vb,
+                   CAST(list_sum(list_transform(list_zip(na.q, nb.q),
+                       t -> t[1] * t[2])) AS BIGINT) AS dot,
+                   na.n2 AS na2, nb.n2 AS nb2
+            FROM cand
+            JOIN n na ON na.vec_id = va
+            JOIN n nb ON nb.vec_id = vb
+        )
+        SELECT va, vb, dot FROM scored
         WHERE dot > 0 AND dot * dot * 10000 >= 900 * na2 * nb2
     """,
     "binary_meta": """

@@ -78,14 +78,26 @@ def gen_pages(
     n_hosts: int = 64,
     show: int = 8,
     body_kb: int = 0,
+    status_every: int | None = None,
+    etag_salt: str = "",
 ) -> DataFrame:
     """The pages table ``(url, warc_ts, html, text, lang)`` per
-    BASELINE.json input_hint.
+    BASELINE.json input_hint, plus fetch-protocol columns
+    ``status_code``/``etag`` (F6 — the engine treats their absence as an
+    all-200, no-etag web).
 
     ``body_kb`` adds ~that many KB of deterministic filler prose per
     page (real Common-Crawl pages are tens of KB; the bench uses this
     so extraction compute reflects the true workload instead of
-    1 KB toy pages)."""
+    1 KB toy pages).
+
+    ``status_every``: when set, ``md5int(url||'#sc') % status_every``
+    picks deterministic non-200 pages — 0→404, 1→403, 2→500 (≈3/N of
+    pages each); None keeps the world all-200.
+
+    ``etag_salt`` feeds the etag hash — regenerate with a different salt
+    to model every page's content changing (the etags rotate, so
+    conditional refetches stop 304ing)."""
     df = spark.range(n_pages).withColumnRenamed("id", "i")
     i = F.col("i")
     df = df.withColumn("host_id", host_id(i, n_hosts))
@@ -163,7 +175,21 @@ def gen_pages(
     df = df.withColumn(
         "lang", F.element_at(F.array(*[F.lit(x) for x in ["en", "es", "de", "zh"]]), (i % 4 + 1).cast("int"))
     )
-    return df.select("url", "warc_ts", "html", "text", "lang")
+    if status_every:
+        sc = md5int(F.concat(F.col("url"), F.lit("#sc"))) % status_every
+        status = (
+            F.when(sc == 0, 404).when(sc == 1, 403).when(sc == 2, 500).otherwise(200)
+        )
+    else:
+        status = F.lit(200)
+    df = df.withColumn("status_code", status.cast("int"))
+    df = df.withColumn(
+        "etag",
+        F.substring(
+            F.md5(F.concat(F.lit("etag:" + etag_salt + ":"), F.col("url"))), 1, 16
+        ),
+    )
+    return df.select("url", "warc_ts", "html", "text", "lang", "status_code", "etag")
 
 
 @F.pandas_udf(StringType())

@@ -1,0 +1,283 @@
+"""F6 fetch-protocol semantics + §2.10 handler surface:
+
+- non-200 gating + retry ladder       tornado_fetcher status path,
+                                      tests/test_fetcher_processor.py:107-139
+- @catch_status_code_error            base_handler.py:27-33
+- conditional fetch / 304 keeps old   tornado_fetcher.py:273-291,
+  content (callback skipped)          base_handler.py:173-174
+- save payload crawl→callback→links   base_handler.py:222-225
+- get_taskid override                 base_handler.py:340-342
+- @not_send_status                    base_handler.py:36-47
+- result upsert by (project, taskid)  result_worker.py:30-46
+"""
+
+from pyspark.sql import functions as F
+
+from crawler_pyspider_spark.engine import Callback, CrawlEngine, Handler
+from crawler_pyspider_spark.operators import frontier as FR
+from crawler_pyspider_spark.sources import synth
+
+RESULT_ONLY = Handler(callbacks={"index_page": Callback(emit_result=True)})
+CATCH = Handler(
+    callbacks={"index_page": Callback(emit_result=True, catch_status_code_error=True)}
+)
+# age=1s + auto_recrawl: every epoch (interval 5s) re-fetches the page
+RECRAWL = Handler(
+    callbacks={
+        "index_page": Callback(emit_result=True, config={"age": 1, "auto_recrawl": True})
+    }
+)
+
+
+def mk_engine(spark, pages, wh, handler, **kw):
+    robots = synth.gen_robots(spark, 8)
+    pol = synth.gen_politeness(spark, 8, rate=1000.0, burst=10000.0)
+    return CrawlEngine(
+        spark, pages, robots, pol, wh, handler=handler, loop_limit=100000, **kw
+    )
+
+
+def _urls(pages, status, n=3):
+    """n urls with the given status code, robots-clean hosts only."""
+    return [
+        r.url
+        for r in pages.filter(
+            (F.col("status_code") == status)
+            & ~F.col("url").rlike(r"//host[234]\.test/")
+        )
+        .select("url")
+        .orderBy("url")
+        .limit(n)
+        .collect()
+    ]
+
+
+def _seed_df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_non200_skips_callback_and_hits_retry_ladder(spark, tmp_path):
+    pages = synth.gen_pages(spark, 120, 8, show=2, status_every=4).cache()
+    bad = _urls(pages, 404) + _urls(pages, 500)
+    good = _urls(pages, 200)
+    assert bad and good
+    eng = mk_engine(spark, pages, str(tmp_path / "wh"), RESULT_ONLY)
+    eng.seed(_seed_df(spark, bad + good))
+    m = eng.run_epoch()
+    assert m["fetch_error"] == len(bad)
+    assert m["fetched_ok"] == len(good)
+    rows = {r.url: r for r in eng.frontier.collect()}
+    for u in bad:  # fetch failed -> retry ladder (W5), not SUCCESS
+        assert rows[u].status == FR.ACTIVE and rows[u].retried == 1
+    for u in good:
+        assert rows[u].status == FR.SUCCESS
+    res = eng.results_df()
+    assert res.filter(F.col("url").isin(bad)).count() == 0  # callback skipped
+    assert res.filter(F.col("url").isin(good)).count() == len(good)
+    pages.unpersist()
+
+
+def test_catch_status_code_error_processes_non200(spark, tmp_path):
+    pages = synth.gen_pages(spark, 120, 8, show=2, status_every=4).cache()
+    bad = _urls(pages, 404)
+    assert bad
+    eng = mk_engine(spark, pages, str(tmp_path / "wh"), CATCH)
+    eng.seed(_seed_df(spark, bad))
+    m = eng.run_epoch()
+    assert m["fetch_error"] == 0 and m["fetched_ok"] == len(bad)
+    rows = {r.url: r for r in eng.frontier.collect()}
+    assert all(rows[u].status == FR.SUCCESS for u in bad)
+    # the callback DID run: results exist for the 404 pages
+    assert eng.results_df().filter(F.col("url").isin(bad)).count() == len(bad)
+    pages.unpersist()
+
+
+def test_conditional_fetch_304_keeps_old_content(spark, tmp_path):
+    pages = synth.gen_pages(spark, 40, 8, show=2).cache()
+    url = _urls(pages, 200, 1)[0]
+    eng = mk_engine(spark, pages, str(tmp_path / "wh"), RECRAWL, epoch_interval=5.0)
+    eng.seed(_seed_df(spark, [url]))
+    m0 = eng.run_epoch()
+    assert m0["fetched_ok"] == 1 and m0["fetched_not_modified"] == 0
+    m1 = eng.run_epoch()  # auto_recrawl re-fetch: etag unchanged -> 304
+    assert m1["selected"] == 1
+    assert m1["fetched_not_modified"] == 1 and m1["fetched_ok"] == 1
+    # 304 keeps old content: callback skipped, still exactly one result
+    assert eng.results_df(latest_only=False).count() == 1
+    row = eng.frontier.filter(F.col("url") == url).collect()[0]
+    assert row.status == FR.ACTIVE  # re-armed again (W6) — 304 is a success
+    assert row.last_etag is not None
+    pages.unpersist()
+
+
+def test_result_upsert_on_content_change(spark, tmp_path):
+    pages = synth.gen_pages(spark, 40, 8, show=2).cache()
+    url = _urls(pages, 200, 1)[0]
+    eng = mk_engine(spark, pages, str(tmp_path / "wh"), RECRAWL, epoch_interval=5.0)
+    eng.seed(_seed_df(spark, [url]))
+    eng.run_epoch()
+    # content changed: new etags -> the refetch is a real 200
+    eng.pages = synth.gen_pages(spark, 40, 8, show=2, etag_salt="v2").cache()
+    m1 = eng.run_epoch()
+    assert m1["fetched_not_modified"] == 0 and m1["fetched_ok"] == 1
+    raw = eng.results_df(latest_only=False)
+    assert raw.filter(F.col("url") == url).count() == 2  # append log
+    up = eng.results_df()  # resultdb upsert view
+    rows = up.filter(F.col("url") == url).collect()
+    assert len(rows) == 1 and rows[0].updatetime == eng.now(1)
+    pages.unpersist()
+
+
+def test_save_payload_flows_to_follows_and_results(spark, tmp_path):
+    handler = Handler(
+        callbacks={
+            "on_start": Callback(
+                extract_links=True, link_callback="detail", forward_save=True
+            ),
+            "detail": Callback(emit_result=True),
+        }
+    )
+    pages = synth.gen_pages(spark, 40, 8, show=2).cache()
+    url = _urls(pages, 200, 1)[0]
+    eng = mk_engine(spark, pages, str(tmp_path / "wh"), handler)
+    eng.seed(
+        spark.createDataFrame([(url, '{"k": 1}')], "url string, save string"),
+        callback="on_start",
+    )
+    eng.run(2)
+    det = eng.frontier.filter(F.col("callback") == "detail")
+    assert det.count() > 0
+    assert {r.save for r in det.select("save").collect()} == {'{"k": 1}'}
+    res = eng.results_df()
+    got = res.select("save").collect()
+    assert got and {r.save for r in got} == {'{"k": 1}'}
+    pages.unpersist()
+
+
+def test_get_taskid_override_dedups_by_custom_key(spark, tmp_path):
+    pages = synth.gen_pages(spark, 40, 4, show=2).cache()
+    one_host = [
+        r.url
+        for r in pages.filter(F.col("url").startswith("http://host1.test/"))
+        .select("url").limit(3).collect()
+    ]
+    assert len(one_host) >= 2
+    eng = mk_engine(
+        spark, pages, str(tmp_path / "wh"), RESULT_ONLY,
+        taskid_fn=lambda df: F.concat(F.lit("host:"), F.col("host")),
+    )
+    eng.seed(_seed_df(spark, one_host))
+    eng.run_epoch()
+    # custom dedup key: all same-host urls collapse to ONE task
+    assert eng.frontier.count() == 1
+    assert eng.frontier.collect()[0].taskid == "host:host1.test"
+    pages.unpersist()
+
+
+def test_http_fetch_mode_against_local_stub(spark, tmp_path):
+    """S6 production path: the mapInPandas pooled-GET stage against a
+    local HTTP stub — 200s parsed, 404 fails into the retry ladder,
+    conditional refetch 304s via If-None-Match (tornado_fetcher.py
+    :76-84 pool, :273-291 etag)."""
+    import hashlib
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+        def do_GET(self):  # noqa: N802
+            if self.path.startswith("/missing"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = (
+                f"<html><head><title>T{self.path}</title></head>"
+                f"<body><a href='/p/9'>n</a></body></html>"
+            ).encode()
+            etag = hashlib.md5(body).hexdigest()[:8]
+            if self.headers.get("If-None-Match") == etag:
+                self.send_response(304)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("ETag", etag)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        pages = spark.createDataFrame([], "url string, html binary")
+        eng = mk_engine(
+            spark, pages, str(tmp_path / "wh"), RECRAWL,
+            fetch_mode="http", epoch_interval=5.0,
+        )
+        eng.seed(_seed_df(spark, [f"{base}/p/1", f"{base}/p/2", f"{base}/missing"]))
+        m0 = eng.run_epoch()
+        assert m0["fetched_ok"] == 2 and m0["fetch_error"] == 1
+        assert m0["fetch_missing"] == 0  # every task returns a row
+        rows = {r.url: r for r in eng.frontier.collect()}
+        assert rows[f"{base}/p/1"].status == FR.ACTIVE  # re-armed (W6)
+        assert rows[f"{base}/p/1"].last_etag  # etag tracked for next GET
+        assert rows[f"{base}/missing"].retried == 1  # retry ladder (W5)
+        m1 = eng.run_epoch()  # auto_recrawl refetch: stub answers 304
+        assert m1["fetched_not_modified"] == 2 and m1["fetched_ok"] == 2
+        # 304 kept old content: one result per page, not two
+        assert eng.results_df(latest_only=False).count() == 2
+    finally:
+        srv.shutdown()
+
+
+def test_processor_index_page_golden(spark, tmp_path):
+    """Reference golden (tests/test_processor.py:357-399
+    test_40_index_page): 4 anchors -> 3 follows after within-page dedup,
+    absolutized + canonicalized byte-identically — `http://binux.me`
+    gains the root path, the CJK path is percent-quoted uppercase, the
+    duplicate collapses, document order preserved."""
+    html = (
+        "<html><body>"
+        "<a href='http://binux.me'>binux</a>"
+        "<a href='http://binux.me/中文'>binux</a>"
+        "<a href='http://binux.me/1'>1</a>"
+        "<a href='http://binux.me/1'>2</a>"
+        "</body></html>"
+    ).encode("utf-8")
+    pages = spark.createDataFrame(
+        [("http://host1.test/p/0", bytearray(html))], "url string, html binary"
+    )
+    handler = Handler(
+        callbacks={"index_page": Callback(extract_links=True, link_callback="detail")}
+    )
+    eng = mk_engine(spark, pages, str(tmp_path / "wh"), handler)
+    eng.seed(_seed_df(spark, ["http://host1.test/p/0"]))
+    eng.run(2)  # epoch 0 fetches+parses, epoch 1 ingests the follows
+    follows = (
+        eng.frontier.filter(F.col("callback") == "detail").orderBy("seq").collect()
+    )
+    assert [r.url for r in follows] == [
+        "http://binux.me/",
+        "http://binux.me/%E4%B8%AD%E6%96%87",
+        "http://binux.me/1",
+    ]
+
+
+def test_not_send_status_drops_ephemeral_task(spark, tmp_path):
+    handler = Handler(
+        callbacks={
+            "index_page": Callback(),
+            "_on_message": Callback(emit_result=True, not_send_status=True),
+        }
+    )
+    pages = synth.gen_pages(spark, 40, 8, show=2).cache()
+    eng = mk_engine(spark, pages, str(tmp_path / "wh"), handler)
+    eng.send_message("bench", "ping")
+    eng.run(2)
+    # the message result was emitted but no status reached the
+    # scheduler: the ephemeral control task left no frontier row
+    assert eng.results_df() is not None and eng.results_df().count() == 1
+    assert eng.frontier.filter(F.col("callback") == "_on_message").count() == 0
+    pages.unpersist()

@@ -22,7 +22,7 @@ def mk_frontier(spark, rows):
         status=FR.ACTIVE, priority=0, retries=3, retried=0, exetime=0.0,
         age=-1, itag=None, force_update=False, auto_recrawl=False,
         cancel=False, callback="index_page", lastcrawltime=None,
-        updatetime=NOW, seq=0, lease_expires=None,
+        updatetime=NOW, seq=0, lease_expires=None, save=None, last_etag=None,
     )
     full = []
     for i, r in enumerate(rows):
@@ -36,18 +36,7 @@ def mk_frontier(spark, rows):
         full.append(d)
     return spark.createDataFrame(
         [tuple(d[c] for c in FR.FRONTIER_COLS) for d in full],
-        schema=", ".join(
-            f"{c} {t}"
-            for c, t in zip(
-                FR.FRONTIER_COLS,
-                [
-                    "string", "string", "string", "string", "int", "int", "int",
-                    "int", "int", "double", "long", "string", "boolean",
-                    "boolean", "boolean", "string", "double", "double", "long",
-                    "double",
-                ],
-            )
-        ),
+        schema=FR.FRONTIER_SCHEMA,
     )
 
 

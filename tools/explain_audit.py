@@ -28,6 +28,10 @@ AUDIT = [
     ("dedup_exact", ["HashAggregate"]),
     ("seen_antijoin", ["Join LeftAnti", "BroadcastHashJoin"]),
     ("token_count", ["Project"]),
+    # round 2: operator-routed + scale-path queries
+    ("merge_frontier", ["HashAggregate"]),   # upsert = max_by agg, no window
+    ("status_gate", ["Project"]),            # pure codegen projection
+    ("dedup_embedding_lsh", ["HashAggregate"]),  # band join, no cross join
 ]
 
 

@@ -24,7 +24,7 @@ sys.path.insert(0, REPO)
 
 LEVELS = (8, 32)
 EPOCHS = 3
-REPS = 2  # best-of-N per level damps noisy-neighbor CPU interference
+REPS = 3  # best-of-N per level damps noisy-neighbor CPU interference
 
 
 def run_level_once(cpus: int, sf_dir: str) -> dict:
