@@ -52,9 +52,15 @@ def crawl_bench(
     pages_full = synth.gen_pages(
         spark, n_pages=n_pages, n_hosts=n_hosts, show=show, body_kb=body_kb
     )
-    # cache only what the fetch join reads; column pruning drops the
-    # text-decode UDF entirely
-    pages = pages_full.select("url", "html").cache()
+    # Cache only what the fetch join reads (column pruning drops the
+    # text-decode UDF entirely), HASH-PARTITIONED BY THE JOIN KEY: the
+    # cached partitioning satisfies the fetch join's distribution
+    # requirement, so each epoch only shuffles the small select batch —
+    # the 20 KB html payloads never move AND no serial 500k-row
+    # broadcast is built on the driver (the round-1 bottleneck at
+    # local[32]).  Same trick as Iceberg bucket-by-url at cluster scale.
+    cpus = spark.sparkContext.defaultParallelism
+    pages = pages_full.select("url", "html").repartition(cpus, "url").cache()
     pages.count()  # materialize outside the timed window
     robots = synth.gen_robots(spark, n_hosts)
     politeness = synth.gen_politeness(spark, n_hosts, rate=1e6, burst=1e7)
@@ -65,8 +71,10 @@ def crawl_bench(
         spark, pages, robots, politeness, wh,
         handler=BENCH_HANDLER, loop_limit=10_000_000,
         # single-JVM local mode: one broadcast copy, so forcing the
-        # select batch broadcast (html never shuffles) stays right at
-        # any batch size; on a real cluster keep the row-based default
+        # full-batch broadcast beats the skinny-probe join-back here
+        # (measured 50.7k vs 43.6k urls/s at a 200k-page world); on a
+        # real cluster the row-bounded default switches huge batches to
+        # the probe path (no driver-built 100MB+ broadcast)
         fetch_broadcast_rows=1 << 31,
     )
     eng.seed(synth.gen_seeds(spark, pages, max(n_pages // 2, 100)))
@@ -100,10 +108,15 @@ def crawl_only_main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    # sf0.1 -> 1M pages x ~20KB: big enough that per-task compute
-    # dominates task-dispatch overhead at 32 cores
+    # sf0.1 -> 1M pages: big enough that per-task compute dominates
+    # task-dispatch overhead at 32 cores.  SPARK_GRAFT_BODY_KB sizes
+    # the page bodies: 20 (default) = realistic extraction compute,
+    # smaller values isolate the frontier dataflow (the metric is URLs
+    # scheduled+deduped/sec) on hosts whose aggregate CPU quota would
+    # otherwise cap any parse-heavy all-core run.
     n_pages = max(int(sf * 10_000_000), 2000)
     n_hosts = max(n_pages // 100, 16)
+    body_kb = int(os.environ.get("SPARK_GRAFT_BODY_KB", "20"))
 
     from crawler_pyspider_spark.session import get_spark
 
@@ -111,12 +124,18 @@ def crawl_only_main() -> None:
         app_name=f"crawl_bench_{cpus}",
         cores=cpus,
         shuffle_partitions=cpus,
-        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"},
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+            # fetch join = shuffled-HASH join against the partitioned
+            # pages cache; sort-merge would sort the 20 KB html side
+            "spark.sql.join.preferSortMergeJoin": "false",
+        },
     )
     # untimed warmup at a real batch shape: JIT/codegen for every stage
     # (ingest, select, parse, commit) compiles before the timed window
-    crawl_bench(spark, n_pages=20_000, n_hosts=200, epochs=2)
-    res = crawl_bench(spark, n_pages, n_hosts)
+    crawl_bench(spark, n_pages=20_000, n_hosts=200, epochs=2, body_kb=body_kb)
+    res = crawl_bench(spark, n_pages, n_hosts, body_kb=body_kb)
+    res["body_kb"] = body_kb
     res["cpus"], res["n_pages"], res["n_hosts"] = cpus, n_pages, n_hosts
     res["epoch_metrics"] = [
         {k: v for k, v in m.items() if k.startswith("t_") or k in

@@ -69,6 +69,13 @@ class Callback:
     ``forward_save`` attaches the parent's ``save`` payload to every
     link this callback emits (the declarative form of
     ``self.crawl(u, save=response.save)``, base_handler.py:222-225).
+    ``parse`` is the arbitrary-callback escape hatch (J5; the handler
+    body dispatch of base_handler.py:161-219): a plain Python function
+    ``fn(url: str, html: bytes | None, save: str | None) ->
+    (title, links, result_json)`` the engine wraps in an Arrow-batched
+    pandas UDF and runs INSTEAD of the built-in page parser for rows
+    targeting this callback — links feed the follow pipeline, a non-None
+    result_json overrides the default result payload.
     """
 
     extract_links: bool = False
@@ -80,6 +87,7 @@ class Callback:
     catch_status_code_error: bool = False
     not_send_status: bool = False
     forward_save: bool = False
+    parse: object = None
 
 
 @dataclass(frozen=True)
@@ -149,6 +157,35 @@ def fetch_status_flags(status_code, last_etag, page_etag, catch):
     return eff, process, fetch_ok
 
 
+def make_parse_udf(fn):
+    """Wrap a per-row callback body into an Arrow-batched pandas UDF
+    returning struct<title,links,result> (J5 — the processor's callback
+    dispatch, base_handler.py:161-219, vectorized at the batch level;
+    the reference runs the same Python row-at-a-time)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("title", StringType()),
+            StructField("links", ArrayType(StringType())),
+            StructField("result", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _udf(url: pd.Series, html: pd.Series, save: pd.Series) -> pd.DataFrame:
+        rows = [fn(u, h, s) for u, h, s in zip(url, html, save)]
+        return pd.DataFrame(rows, columns=["title", "links", "result"])
+
+    return _udf
+
+
 def _callback_case(handler: Handler, key: str, dtype: str, default):
     """CASE expression mapping callback name -> @config value for `key`."""
     expr = F.lit(default).cast(dtype)
@@ -189,7 +226,7 @@ class CrawlEngine:
         fail_pause_num: int | None = None,
         pause_epochs: int = 3,
         fetch_broadcast_rows: int = 300_000,
-        rank_small_threshold: int = 20_000,
+        rank_small_threshold: int = 2_000_000,
         taskid_fn=None,
         projects: dict | None = None,
         fetch_mode: str = "pages",
@@ -246,10 +283,10 @@ class CrawlEngine:
         # keeps exactly one broadcast copy, so "never shuffle the html"
         # stays the right trade there at any batch size.
         self.fetch_broadcast_rows = fetch_broadcast_rows
-        # parent-rank path cutover: below this row count a plain
-        # single-partition window ranks the epoch's parents; above it
-        # the distributed range-partition rank runs (one extra job, but
-        # no 100k-row serial sort per epoch at bench batch sizes)
+        # parent-rank path cutover: the rank input is ONLY the 8-byte
+        # seq column, so a single-partition window (no exchange, no
+        # persist, no extra count job) wins up to millions of rows;
+        # above the threshold the distributed range-partition rank runs
         self.rank_small_threshold = rank_small_threshold
         # get_taskid override (base_handler.py:340-342): a callable
         # DataFrame -> Column producing the dedup key; default is
@@ -319,15 +356,32 @@ class CrawlEngine:
                 F.lit(0.0),
             ),
         )
-        s = s.withColumn("callback", F.lit(callback))
+        if "callback" in s.columns:
+            s = s.withColumn("callback", F.coalesce(F.col("callback"), F.lit(callback)))
+        else:
+            s = s.withColumn("callback", F.lit(callback))
         # deterministic FIFO seq by url — scalable rank, not a
         # single-partition window (seed lists can be millions of urls)
         s = FR.with_global_rank(s, "seq", [F.asc("url")], cache_list=self._extra_caches)
         cols = ["url", "project", "priority", "exetime", "callback", "seq"]
-        if "save" in s.columns:
-            cols.append("save")
+        for opt in ("save", "custom_taskid"):
+            if opt in s.columns:
+                cols.append(opt)
         self.pending = s.select(*cols)
         self._pending_rows = None  # unknown until first commit
+
+    def enqueue(self, requests: DataFrame, callback: str = "index_page") -> None:
+        """``self.crawl()`` outside the parse flow — the fork's
+        ``BaseCrawl.enqueue`` (libs/base_crawl.py:118-127): normalize +
+        rank the request batch and APPEND it to pending (seed replaces).
+        """
+        prev = self.pending
+        self.seed(requests, callback)
+        if prev is not None:
+            self.pending = prev.unionByName(
+                self.pending, allowMissingColumns=True
+            )
+        self._pending_rows = None
 
     # -- control rows: cron / messages / on_finished (W7, W8, §2.10) -------
     def send_message(self, project: str, message: str) -> None:
@@ -501,6 +555,12 @@ class CrawlEngine:
             inc = inc.drop("url").withColumnRenamed("url_canon", "url")
             if self.taskid_fn is not None:
                 inc = inc.withColumn("taskid", self.taskid_fn(inc))
+            if "custom_taskid" in inc.columns:
+                # per-row taskid override (CrawlBuilder.set_task_id /
+                # crawl(taskid=...), base_handler.py:340-342)
+                inc = inc.withColumn(
+                    "taskid", F.coalesce(F.col("custom_taskid"), F.col("taskid"))
+                ).drop("custom_taskid")
             # @config defaults for the target callback (J4)
             for key, dtype, dflt in (
                 ("age", "long", FR.DEFAULT_AGE),
@@ -652,6 +712,7 @@ class CrawlEngine:
                 .withColumn("_p_etag", F.lit(None).cast("string"))
             )
             http_rows = allowed.filter(~is_data)
+            pre_parsed = False  # probe path parses page-side, before join-back
             if self.fetch_mode == "http":
                 # production path: repartition by host_bucket (few hosts
                 # per partition — connection reuse + politeness
@@ -682,18 +743,44 @@ class CrawlEngine:
                     ).cast("string").alias("_p_etag"),
                 )
                 # The select batch is the SMALL side (≤ loop_limit rows);
-                # broadcast it and stream the pages table map-side — the
-                # html payloads (the fat side) are never shuffled.  An
-                # outer join cannot preserve the broadcast side, so fetch
-                # hits come from an inner broadcast join and 404s from an
-                # anti-join against the (cached) hits.
-                hit_join = page_side.join(
-                    F.broadcast(http_rows)
-                    if n_selected <= self.fetch_broadcast_rows
-                    else http_rows,
-                    http_rows["url"] == page_side["_p_url"],
-                    "inner",
-                ).drop("_p_url")
+                # the html payloads (the fat side) must never shuffle.
+                # Two strategies by batch size:
+                #  - small: broadcast the whole task batch, stream pages
+                #    map-side (hits inner join + anti-join for 404s);
+                #  - large (skinny probe): broadcasting the full 22-col
+                #    task row is a serial driver cost that caps scaling,
+                #    so broadcast only the DISTINCT url probe, parse
+                #    page-side (html never leaves its partition), and
+                #    join the SMALL parse output (title+links) back to
+                #    the task batch — a small×small shuffle join.
+                use_probe = (
+                    n_selected > self.fetch_broadcast_rows
+                    and not any(
+                        cb.parse for cb in self.handler.callbacks.values()
+                    )
+                )
+                if use_probe:
+                    pre_parsed = True
+                    probe = F.broadcast(http_rows.select("url").distinct())
+                    page_hits = page_side.join(
+                        probe, probe["url"] == page_side["_p_url"], "inner"
+                    ).drop("_p_url")
+                    parsed = page_hits.withColumn(
+                        "_parsed", parse_page_meta(F.col("url"), F.col("_p_html"))
+                    ).select(
+                        "url",
+                        "_p_status",
+                        "_p_etag",
+                        F.col("_parsed.title").alias("_title"),
+                        F.col("_parsed.links").alias("_links"),
+                    )
+                    hit_join = http_rows.join(parsed, "url", "inner")
+                else:
+                    hit_join = page_side.join(
+                        F.broadcast(http_rows),
+                        http_rows["url"] == page_side["_p_url"],
+                        "inner",
+                    ).drop("_p_url")
 
             # ---- process (step 5): status gate + one-pass parse ----
             # F6: effective status (304 when the stored etag matches),
@@ -702,7 +789,18 @@ class CrawlEngine:
             # on null, so skipped pages cost no decode.  Only title+links
             # stay in the cached frame (full text would multiply cache
             # memory by the page size for nothing — response.py:105).
-            fetched = hit_join.unionByName(data_rows)
+            if pre_parsed:
+                data_side = (
+                    data_rows.withColumn(
+                        "_parsed", parse_page_meta(F.col("url"), F.col("_p_html"))
+                    )
+                    .withColumn("_title", F.col("_parsed.title"))
+                    .withColumn("_links", F.col("_parsed.links"))
+                    .drop("_p_html", "_parsed")
+                )
+                fetched = hit_join.unionByName(data_side)
+            else:
+                fetched = hit_join.unionByName(data_rows)
             catch_cbs = [
                 n for n, cb in self.handler.callbacks.items()
                 if cb.catch_status_code_error
@@ -713,20 +811,59 @@ class CrawlEngine:
             eff_status, process_f, fetch_ok_f = fetch_status_flags(
                 F.col("_p_status"), F.col("last_etag"), F.col("_p_etag"), catch
             )
-            ok = (
+            flagged = (
                 fetched.withColumn("_status_code", eff_status)
                 .withColumn("_process", process_f)
                 .withColumn("_fetch_ok", fetch_ok_f)
-                .withColumn(
-                    "_parsed",
-                    parse_page_meta(
-                        F.col("url"), F.when(F.col("_process"), F.col("_p_html"))
-                    ),
-                )
-                .withColumn("_title", F.col("_parsed.title"))
-                .withColumn("_links", F.col("_parsed.links"))
-                .drop("_p_html", "_parsed", "_p_status")
             )
+            gated_html = F.when(F.col("_process"), F.col("_p_html"))
+            custom = {
+                n: cb.parse for n, cb in self.handler.callbacks.items() if cb.parse
+            }
+            if pre_parsed:
+                # probe path already parsed page-side (once per distinct
+                # url); rows the gate skips (_process false) simply
+                # don't feed follows/results downstream
+                ok = flagged.withColumn(
+                    "_result", F.lit(None).cast("string")
+                ).drop("_p_status")
+            elif custom:
+                # J5: rows targeting a callback with a custom parse body
+                # run its pandas UDF; everything else takes the built-in
+                # parser.  One branch per distinct callback, unioned —
+                # each branch is its own Arrow stage over its subset.
+                branches = [
+                    flagged.filter(~F.col("callback").isin(list(custom)))
+                    .withColumn("_parsed", parse_page_meta(F.col("url"), gated_html))
+                    .withColumn("_title", F.col("_parsed.title"))
+                    .withColumn("_links", F.col("_parsed.links"))
+                    .withColumn("_result", F.lit(None).cast("string"))
+                ]
+                for name, fn in custom.items():
+                    udf = make_parse_udf(fn)
+                    branches.append(
+                        flagged.filter(F.col("callback") == name)
+                        .withColumn(
+                            "_parsed", udf(F.col("url"), gated_html, F.col("save"))
+                        )
+                        .withColumn("_title", F.col("_parsed.title"))
+                        .withColumn("_links", F.col("_parsed.links"))
+                        .withColumn("_result", F.col("_parsed.result"))
+                    )
+                ok = branches[0]
+                for b in branches[1:]:
+                    ok = ok.unionByName(b)
+                ok = ok.drop("_p_html", "_parsed", "_p_status")
+            else:
+                ok = (
+                    flagged.withColumn(
+                        "_parsed", parse_page_meta(F.col("url"), gated_html)
+                    )
+                    .withColumn("_title", F.col("_parsed.title"))
+                    .withColumn("_links", F.col("_parsed.links"))
+                    .withColumn("_result", F.lit(None).cast("string"))
+                    .drop("_p_html", "_parsed", "_p_status")
+                )
             ok = ok.cache()
             caches.append(ok)
             _t = _time.monotonic()
@@ -742,8 +879,11 @@ class CrawlEngine:
             m["fetch_error"] = int(fc["n"]) - int(fc["n_ok"])
             m["t_fetch_parse"] = round(_time.monotonic() - _t, 2)
 
+            # AQE picks broadcast for small epochs; at bench batch sizes
+            # a forced driver-built 500k-row broadcast would be a serial
+            # cost on every epoch
             missing = http_rows.join(
-                F.broadcast(ok.select(F.col("taskid").alias("_ok_taskid"))),
+                ok.select(F.col("taskid").alias("_ok_taskid")),
                 F.col("taskid") == F.col("_ok_taskid"),
                 "left_anti",
             )
@@ -756,26 +896,39 @@ class CrawlEngine:
                     "taskid",
                     "project",
                     "url",
-                    F.to_json(
-                        F.struct(F.col("url"), F.col("_title").alias("title"))
+                    F.coalesce(
+                        F.col("_result"),
+                        F.to_json(
+                            F.struct(F.col("url"), F.col("_title").alias("title"))
+                        ),
                     ).alias("result"),
                     F.col("save").alias("save"),
                     F.lit(now).alias("updatetime"),
                 )
 
             link_emitters = self.handler.link_emitters()
+            _t = _time.monotonic()
             if link_emitters:
                 # deterministic FIFO rank of this epoch's parents by seq;
                 # scalable two-phase rank when the select batch is huge
                 # (wide-open bench runs), plain window otherwise
-                parents = FR.with_global_rank(
-                    ok.filter(F.col("_process") & F.col("callback").isin(link_emitters)),
+                # Rank ONLY the 8-byte seq column (sorting/persisting
+                # the full parent rows — 1 KB+ of link arrays each —
+                # was the dominant hidden per-epoch cost), then map-join
+                # the tiny (seq, rank) frame back onto the parents: AQE
+                # broadcasts it, so the link arrays never move.
+                parents_full = ok.filter(
+                    F.col("_process") & F.col("callback").isin(link_emitters)
+                ).select("seq", "callback", "save", "_links")
+                ranked = FR.with_global_rank(
+                    parents_full.select("seq"),
                     "_parent_rank",
                     [F.asc("seq")],
                     approx_rows=n_selected,
                     small_threshold=self.rank_small_threshold,
                     cache_list=caches,
                 )
+                parents = parents_full.join(ranked, "seq")
                 lc = F.lit(None).cast("string")
                 fs = F.lit(None).cast("string")  # forwarded save payload
                 for name in link_emitters:
@@ -804,6 +957,7 @@ class CrawlEngine:
                     .withColumn("priority", F.lit(None).cast("int"))
                     .withColumn("exetime", F.lit(0.0))
                 )
+            m["t_rank"] = round(_time.monotonic() - _t, 2)
 
             # ---- close the loop (step 6) ----
             failed = denied.select("project", "taskid", "seq", "callback").unionByName(

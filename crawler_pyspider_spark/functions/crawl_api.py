@@ -1,0 +1,316 @@
+"""Fork-API sugar: CrawlBuilder / HandlerPage / URL+curl helpers.
+
+The reference fork layers a fluent builder API over ``self.crawl()``
+(libs/crawl_builder.py:5-320) and a handler-page pattern
+(libs/base_crawl.py:18-177) whose pages know how to build their own
+crawl request and enqueue themselves.  This module re-expresses that
+surface over the Spark engine's row model: a builder produces ONE seed
+row (url, project, priority, exetime, callback, save, custom_taskid),
+and ``CrawlEngine.seed`` / ``enqueue`` turn lists of rows into the
+pending-arrivals DataFrame the ingest stage consumes.
+
+Also here, the request-construction helpers the fork's handlers rely on:
+
+- ``build_url(url, params)`` — merge GET params into the query string
+  (semantics of libs/url.py:29-59 ``_build_url``; re-implemented from
+  the public urllib API);
+- ``curl_to_arguments(cmd)`` — parse a browser-copied ``curl`` command
+  into crawl kwargs (debug surface of libs/url.py:73-123; X8);
+- ``time_limit`` — SIGALRM processing time limit
+  (``process_time_limit``, libs/utils.py:164-215), usable around
+  per-batch Python work inside pandas UDFs (Spark python workers run
+  UDFs on the main thread; on non-main threads it degrades to a no-op,
+  exactly like the reference).
+"""
+
+from __future__ import annotations
+
+import math
+import shlex
+import signal
+import threading
+from urllib.parse import urlencode, urlparse, urlunparse
+
+
+# --------------------------------------------------------------------------
+# URL helpers
+# --------------------------------------------------------------------------
+
+
+def build_url(url: str, params: dict | None = None) -> str:
+    """Merge GET ``params`` into ``url``'s query string (libs/url.py:29-59).
+
+    The empty path becomes ``/`` and unicode hosts are IDNA-encoded, as
+    the canonicalizer does; existing query keys are preserved and the
+    new params appended (reference appends with ``&``).
+    """
+    scheme, netloc, path, parms, query, fragment = urlparse(url)
+    try:
+        netloc = netloc.encode("idna").decode("utf-8")
+    except (UnicodeError, UnicodeDecodeError):
+        pass
+    if not path:
+        path = "/"
+    if params:
+        extra = urlencode(sorted(params.items()))
+        query = f"{query}&{extra}" if query else extra
+    return urlunparse([scheme, netloc, path, parms, query, fragment])
+
+
+def curl_to_arguments(cmd: str) -> dict:
+    """Parse a browser-copied ``curl ...`` command line into crawl
+    kwargs (X8; semantics of libs/url.py:73-123): urls, headers,
+    method, data, use_gzip."""
+    tokens = shlex.split(cmd)
+    if not tokens or tokens[0] != "curl":
+        raise ValueError("not a curl command")
+    kwargs: dict = {}
+    headers: dict = {}
+    urls: list[str] = []
+    i = 1
+    while i < len(tokens):
+        tok = tokens[i]
+        if tok == "--compressed":
+            kwargs["use_gzip"] = True
+        elif tok in ("-H", "--header"):
+            i += 1
+            name, _, value = tokens[i].partition(":")
+            if value:
+                headers[name.strip()] = value.strip()
+        elif tok in ("-d", "--data", "--data-binary"):
+            i += 1
+            data = tokens[i]
+            if tok == "--data-binary" and data.startswith("$"):
+                data = data[1:]
+            kwargs["data"] = data
+        elif tok in ("-X", "--request"):
+            i += 1
+            kwargs["method"] = tokens[i]
+        elif tok.startswith("-"):
+            raise ValueError(f"unsupported curl option: {tok}")
+        else:
+            urls.append(tok)
+        i += 1
+    if not urls:
+        raise ValueError("curl: no URL specified")
+    kwargs["urls"] = urls
+    if headers:
+        kwargs["headers"] = headers
+    return kwargs
+
+
+# --------------------------------------------------------------------------
+# processing time limit (libs/utils.py:164-215)
+# --------------------------------------------------------------------------
+
+
+class ProcessTimeout(Exception):
+    pass
+
+
+class time_limit:
+    """``with time_limit(3): ...`` raises ProcessTimeout after the
+    wall-clock budget.  SIGALRM-based, so it only binds on the main
+    thread (Spark python workers execute UDFs there); elsewhere it is a
+    no-op — the reference degrades identically."""
+
+    def __init__(self, seconds: float, message: str = "process timeout"):
+        self.seconds = seconds
+        self.message = message
+
+    def _raise(self, signum, frame):
+        raise ProcessTimeout(self.message)
+
+    def __enter__(self):
+        if threading.current_thread() is not threading.main_thread():
+            self.seconds = 0
+        if self.seconds:
+            signal.signal(signal.SIGALRM, self._raise)
+            signal.alarm(int(math.ceil(self.seconds)))
+        return self
+
+    def __exit__(self, *exc):
+        if self.seconds:
+            signal.alarm(0)
+        return False
+
+
+# --------------------------------------------------------------------------
+# CrawlBuilder (libs/crawl_builder.py:5-320)
+# --------------------------------------------------------------------------
+
+SEED_COLUMNS = [
+    "url", "project", "priority", "exetime", "callback", "save",
+    "custom_taskid",
+]
+
+
+class CrawlBuilder:
+    """Fluent builder for one crawl request row.
+
+    Reference parity (libs/crawl_builder.py): schedule_* setters map to
+    frontier schedule columns; set_save* to the JSON ``save`` payload;
+    set_get_params* merge into the URL query (``build_url``);
+    set_task_id to the custom dedup key (``get_taskid`` override,
+    base_handler.py:340-342).  Fetch-protocol knobs that need a live
+    HTTP fetcher (headers, cookies, proxy, POST bodies, phantomjs) are
+    accepted and kept in ``kwargs`` for the ``fetch_mode='http'`` path
+    to consume, but the sandbox pages-join fetch ignores them.
+    """
+
+    def __init__(self, url: str = ""):
+        self._url = url
+        self._params: dict = {}
+        self._save: dict = {}
+        self._kwargs: dict = {"age": 1}
+
+    # -- fluent setters ----------------------------------------------------
+    def set_url(self, url: str) -> "CrawlBuilder":
+        self._url = url
+        return self
+
+    def set_get_params_kv(self, key, value) -> "CrawlBuilder":
+        self._params[key] = value
+        return self
+
+    def set_get_params(self, params: dict) -> "CrawlBuilder":
+        self._params = dict(params)
+        return self
+
+    def set_task_id(self, taskid: str) -> "CrawlBuilder":
+        self._kwargs["taskid"] = taskid
+        return self
+
+    def set_save_kv(self, key, value) -> "CrawlBuilder":
+        self._save[key] = value
+        return self
+
+    def set_save(self, save: dict) -> "CrawlBuilder":
+        self._save = dict(save)
+        return self
+
+    def set_callback(self, callback: str) -> "CrawlBuilder":
+        self._kwargs["callback"] = callback
+        return self
+
+    def schedule_priority(self, priority: int) -> "CrawlBuilder":
+        self._kwargs["priority"] = int(priority)
+        return self
+
+    def schedule_retries(self, retries: int = 3) -> "CrawlBuilder":
+        self._kwargs["retries"] = int(retries)
+        return self
+
+    def schedule_exetime(self, exetime: float) -> "CrawlBuilder":
+        self._kwargs["exetime"] = float(exetime)
+        return self
+
+    def schedule_delay_second(self, seconds: float, now: float) -> "CrawlBuilder":
+        """Reference uses wall-clock now; the engine is deterministic,
+        so the caller supplies ``now`` (engine.now())."""
+        return self.schedule_exetime(now + seconds)
+
+    def schedule_age(self, age: int = 1) -> "CrawlBuilder":
+        self._kwargs["age"] = int(age)
+        return self
+
+    def set_itag(self, itag: str) -> "CrawlBuilder":
+        self._kwargs["itag"] = itag
+        return self
+
+    def set_auto_recrawl(self, flag: bool = True) -> "CrawlBuilder":
+        self._kwargs["auto_recrawl"] = bool(flag)
+        return self
+
+    def set_force_update(self, flag: bool = True) -> "CrawlBuilder":
+        self._kwargs["force_update"] = bool(flag)
+        return self
+
+    def set_kwargs_kv(self, key, value) -> "CrawlBuilder":
+        self._kwargs[key] = value
+        return self
+
+    def update_kwargs(self, kwargs: dict) -> "CrawlBuilder":
+        for k, v in kwargs.items():
+            if isinstance(v, dict) and isinstance(self._kwargs.get(k), dict):
+                self._kwargs[k].update(v)
+            else:
+                self._kwargs[k] = v
+        return self
+
+    # -- accessors ---------------------------------------------------------
+    def get_url(self) -> str:
+        return build_url(self._url, self._params)
+
+    def get_kwargs(self) -> dict:
+        return dict(self._kwargs)
+
+    def to_row(self, project: str = "bench") -> tuple:
+        """One seed row in SEED_COLUMNS order for the engine's ingest."""
+        import json
+
+        k = self._kwargs
+        return (
+            self.get_url(),
+            k.get("project", project),
+            k.get("priority"),
+            k.get("exetime"),
+            k.get("callback", "index_page"),
+            json.dumps(self._save, sort_keys=True) if self._save else None,
+            k.get("taskid"),
+        )
+
+
+def builders_to_df(spark, builders, project: str = "bench"):
+    """Seed/enqueue DataFrame from a list of CrawlBuilders."""
+    rows = [b.to_row(project) for b in builders]
+    return spark.createDataFrame(
+        rows,
+        "url string, project string, priority int, exetime double,"
+        " callback string, save string, custom_taskid string",
+    )
+
+
+# --------------------------------------------------------------------------
+# HandlerPage (libs/base_crawl.py:18-177 BaseCrawl)
+# --------------------------------------------------------------------------
+
+
+class HandlerPage:
+    """Handler-page pattern: a page object that knows how to build its
+    own crawl request and hand follow-ups/messages back to the engine.
+
+    Subclass and override ``crawl_builder()`` (required) — the
+    per-response ``parse_response`` hook of the reference is the
+    declarative ``Callback`` spec in this engine (link/result emitters);
+    override ``result_hook`` for driver-side post-commit actions.
+    """
+
+    project = "bench"
+
+    def __init__(self):
+        self._follows: list[CrawlBuilder] = []
+        self._messages: list[tuple[str, str]] = []
+
+    def crawl_builder(self) -> CrawlBuilder:
+        raise NotImplementedError
+
+    def crawl_handler_page(self, page: "HandlerPage") -> "HandlerPage":
+        self._follows.append(page.crawl_builder())
+        return self
+
+    def send_message(self, project: str, msg: str) -> "HandlerPage":
+        self._messages.append((project, msg))
+        return self
+
+    def enqueue(self, engine) -> None:
+        """Queue this page (and any collected follows/messages) on the
+        engine — the ``BaseCrawl.enqueue`` analogue."""
+        builders = [self.crawl_builder()] + self._follows
+        engine.enqueue(builders_to_df(engine.spark, builders, self.project))
+        for proj, msg in self._messages:
+            engine.send_message(proj, msg)
+        self._follows, self._messages = [], []
+
+    def result_hook(self, result_row) -> None:
+        pass

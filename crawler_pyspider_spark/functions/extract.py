@@ -99,6 +99,13 @@ def extract_links_py(text: str, base_url: str) -> list[str]:
         href = href.strip()
         if not href:
             continue
+        # hrefs that already carry an http(s) scheme+authority pass
+        # through urljoin unchanged — skipping the call removes the
+        # dominant per-link cost of the parse stage (urljoin re-parses
+        # the base URL for every anchor; most web links are absolute)
+        if href.startswith(("http://", "https://")):
+            links.append(href)
+            continue
         absu = urljoin(base_url, href)
         if absu.startswith("http"):
             links.append(absu)

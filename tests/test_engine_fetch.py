@@ -174,6 +174,50 @@ def test_get_taskid_override_dedups_by_custom_key(spark, tmp_path):
     pages.unpersist()
 
 
+def test_custom_parse_callback(spark, tmp_path):
+    """J5 — arbitrary per-callback parse body (the handler dispatch of
+    base_handler.py:161-219): a plain Python fn on the Callback runs as
+    an Arrow-batched UDF instead of the built-in parser, choosing its
+    own follows and emitting a custom result payload."""
+    import json
+    import re
+
+    def my_parse(url, html, save):
+        if html is None:
+            return (None, [], None)
+        text = bytes(html).decode("utf-8", "replace")
+        links = re.findall(r"href='([^']+)'", text)
+        absolute = [l for l in links if l.startswith("http")]
+        return ("custom", absolute[:1], json.dumps({"n_links": len(links), "src": url}))
+
+    handler = Handler(
+        callbacks={
+            "index_page": Callback(
+                extract_links=True, link_callback="detail",
+                emit_result=True, parse=my_parse,
+            ),
+            "detail": Callback(),
+        }
+    )
+    pages = synth.gen_pages(spark, 40, 8, show=3).cache()
+    # a 200 page outside robots-blocked hosts whose links are absolute
+    # (synth writes relative hrefs only when page_id % 7 == 3)
+    url = next(
+        u for u in _urls(pages, 200, 10)
+        if int(u.rsplit("/", 1)[1]) % 7 != 3
+    )
+    eng = mk_engine(spark, pages, str(tmp_path / "wh"), handler)
+    eng.seed(_seed_df(spark, [url]))
+    eng.run(2)
+    res = eng.results_df().collect()
+    assert len(res) == 1
+    payload = json.loads(res[0].result)
+    assert payload["src"] == url and payload["n_links"] == 3
+    # the custom parse kept exactly ONE follow
+    assert eng.frontier.filter(F.col("callback") == "detail").count() == 1
+    pages.unpersist()
+
+
 def test_http_fetch_mode_against_local_stub(spark, tmp_path):
     """S6 production path: the mapInPandas pooled-GET stage against a
     local HTTP stub — 200s parsed, 404 fails into the retry ladder,
