@@ -24,13 +24,19 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers — no Spark job."""
+    """Row count from parquet footers — no Spark job.  Fallback only
+    (manifest repair); the commit path counts via ``Observation`` inside
+    the write job itself, because this driver-serial walk was measured
+    to grow with core count (more tasks -> more files) and became the
+    epoch-commit bottleneck at local[32]."""
     n = 0
     for root, _, files in os.walk(path):
         for fn in files:
@@ -76,14 +82,33 @@ class SnapshotStore:
             "counters": counters or {},
             "engine_state": engine_state or {},
         }
-        for name, df in tables.items():
+
+        def _write_one(item):
+            name, df = item
             path = self.table_path(name, epoch)
             if os.path.exists(path):
                 shutil.rmtree(path)
-            df.write.mode("overwrite").parquet(path)
-            # row count from file footers (the write already happened;
-            # a Spark count here would cost one extra job per table)
-            manifest["tables"][name] = {"path": path, "rows": _parquet_rows(path)}
+            # Row count rides the write job via Observation — no extra
+            # Spark job, no driver-side footer walk afterwards.
+            obs = Observation(f"rows:{name}:{epoch}")
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(path)
+            return name, {"path": path, "rows": int(obs.get["n"])}
+
+        # One write = one Spark job whose commit tail (task-file renames,
+        # _SUCCESS) is driver-serial; overlapping the tables' jobs hides
+        # that tail.  Threads only submit jobs — the executor pool is
+        # still the one scheduler — so this is safe at any table count.
+        items = list(tables.items())
+        if len(items) > 1:
+            with ThreadPoolExecutor(max_workers=min(4, len(items))) as ex:
+                for name, entry in ex.map(_write_one, items):
+                    manifest["tables"][name] = entry
+        else:
+            for it in items:
+                name, entry = _write_one(it)
+                manifest["tables"][name] = entry
         if engine_state_fn is not None:
             manifest["engine_state"] = engine_state_fn(manifest["tables"])
         tmp = self._manifest_path(epoch) + ".tmp"

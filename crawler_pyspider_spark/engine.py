@@ -31,6 +31,7 @@ import json
 import time as _time
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,7 +128,7 @@ BENCH_HANDLER = Handler(
 )
 
 
-def fetch_status_flags(status_code, last_etag, page_etag, catch):
+def fetch_status_flags(status_code, last_etag, page_etag, catch, coerce_304=True):
     """F6 — non-200 gating + conditional fetch as column expressions,
     reproducing the reference semantics (tornado_fetcher.py:273-291
     If-None-Match from the last fetch's etag; base_handler.py:161-177
@@ -144,25 +145,51 @@ def fetch_status_flags(status_code, last_etag, page_etag, catch):
 
     Shared by the engine fetch stage and the oracle query
     ``q_status_gate`` so a regression here flips a CORRECTNESS row.
+
+    ``coerce_304``: the pages-table sandbox has no server to honour
+    If-None-Match, so a 200 whose etag matches the stored one is coerced
+    to 304 to EMULATE the conditional fetch.  A real HTTP server answers
+    304 itself; in fetch_mode='http' the coercion is off and the
+    server's status code is trusted (a server that ignores
+    If-None-Match and returns a fresh 200 body must run the callback,
+    matching base_handler.py:173).
     """
-    eff = F.when(
-        (status_code == 200)
-        & last_etag.isNotNull()
-        & page_etag.isNotNull()
-        & (last_etag == page_etag),
-        F.lit(304),
-    ).otherwise(status_code)
+    eff = status_code
+    if coerce_304:
+        eff = F.when(
+            (status_code == 200)
+            & last_etag.isNotNull()
+            & page_etag.isNotNull()
+            & (last_etag == page_etag),
+            F.lit(304),
+        ).otherwise(status_code)
     process = (eff == 200) | catch
     fetch_ok = (eff == 200) | (eff == 304) | catch
     return eff, process, fetch_ok
+
+
+def cron_due(tick, last_fired, every):
+    """W7 — @every gating on ELAPSED interval since the last firing
+    (base_handler.py:69-98 every_matching semantics; scheduler.py
+    _check_cronjob), not ``tick % every == 0`` (which never fires when
+    ``every`` is not a multiple of the epoch interval).
+
+    Polymorphic over Python ints (the engine's driver-side control-row
+    path, ``_control_rows``) and Spark Columns (the oracle query
+    ``q_cron_due``) so a change to the due-rule flips the CORRECTNESS
+    row, not just an engine unit test."""
+    return (tick - last_fired) >= every
 
 
 def make_parse_udf(fn):
     """Wrap a per-row callback body into an Arrow-batched pandas UDF
     returning struct<title,links,result> (J5 — the processor's callback
     dispatch, base_handler.py:161-219, vectorized at the batch level;
-    the reference runs the same Python row-at-a-time)."""
-    import pandas as pd
+    the reference runs the same Python row-at-a-time).
+
+    pandas is imported at module level so the UDF's string type hints
+    (``from __future__ import annotations`` makes them strings) resolve
+    via ``get_type_hints`` at ``pandas_udf`` registration time."""
     from pyspark.sql.types import (
         ArrayType,
         StringType,
@@ -186,13 +213,23 @@ def make_parse_udf(fn):
     return _udf
 
 
-def _callback_case(handler: Handler, key: str, dtype: str, default):
-    """CASE expression mapping callback name -> @config value for `key`."""
+# Separator for (project, callback) dispatch keys in multi-handler mode
+# (processor/project_module.py routes each task to its project's own
+# script module; the engine's analogue is a per-project Handler registry
+# and a concat-key dispatch column).  \x1f (unit separator) cannot
+# appear in project names or callback identifiers.
+_DSEP = "\x1f"
+
+
+def _callback_case(items, dispatch_col, key: str, dtype: str, default):
+    """CASE expression mapping dispatch key -> @config value for `key`.
+    ``items`` is [(dispatch_key, Callback)] — name-only keys in legacy
+    single-handler mode, project\\x1fname keys in multi-handler mode."""
     expr = F.lit(default).cast(dtype)
-    for name, cb in handler.callbacks.items():
+    for dkey, cb in items:
         if key in cb.config:
             expr = F.when(
-                F.col("callback") == name, F.lit(cb.config[key]).cast(dtype)
+                dispatch_col == dkey, F.lit(cb.config[key]).cast(dtype)
             ).otherwise(expr)
     return expr
 
@@ -226,9 +263,10 @@ class CrawlEngine:
         fail_pause_num: int | None = None,
         pause_epochs: int = 3,
         fetch_broadcast_rows: int = 300_000,
-        rank_small_threshold: int = 2_000_000,
+        rank_small_threshold: int = 1_000_000,
         taskid_fn=None,
         projects: dict | None = None,
+        handlers: dict | None = None,
         fetch_mode: str = "pages",
         fetch_pool_size: int = 100,
         fetch_timeout: float = 20.0,
@@ -247,7 +285,22 @@ class CrawlEngine:
             )
         )
         self.store = SnapshotStore(spark, warehouse)
-        self.handler = handler
+        # Per-project handler registry (the reference routes every task
+        # to its project's own script module — processor/processor.py:
+        # 110-121, project_module.py).  ``handlers`` maps project ->
+        # Handler and switches dispatch to (project, callback) keys;
+        # without it the engine runs in legacy single-handler mode and
+        # dispatches on callback name alone (bench / oracle paths —
+        # zero behavior change).
+        self._multi = handlers is not None
+        self.handlers: dict[str, Handler] = (
+            dict(handlers) if handlers is not None else {project: handler}
+        )
+        self.handler = (
+            self.handlers.get(project, next(iter(self.handlers.values())))
+            if handlers is not None
+            else handler
+        )
         self.project = project
         self.epoch_interval = epoch_interval
         self.loop_limit = loop_limit
@@ -284,9 +337,10 @@ class CrawlEngine:
         # stays the right trade there at any batch size.
         self.fetch_broadcast_rows = fetch_broadcast_rows
         # parent-rank path cutover: the rank input is ONLY the 8-byte
-        # seq column, so a single-partition window (no exchange, no
-        # persist, no extra count job) wins up to millions of rows;
-        # above the threshold the distributed range-partition rank runs
+        # seq column (~24 B/row as an UnsafeRow), so the single-reducer
+        # rank (one exchange, no persist, no extra count job) wins up
+        # to ~1M rows — ~25 MB in the one task; above the threshold the
+        # distributed range-partition rank runs
         self.rank_small_threshold = rank_small_threshold
         # get_taskid override (base_handler.py:340-342): a callable
         # DataFrame -> Column producing the dedup key; default is
@@ -326,6 +380,7 @@ class CrawlEngine:
         self.token_state: DataFrame = FR.empty_token_state(spark)
         self.pending: DataFrame | None = None  # follows + deferred for next epoch
         self._pending_rows: int | None = None  # known size of self.pending
+        self._frontier_rows: int | None = 0  # last-committed frontier size
         self._had_selects: bool = False  # for on_finished (W8) debounce
         self._finished_emitted: bool = False
         self._fire_on_finished: bool = False
@@ -378,10 +433,38 @@ class CrawlEngine:
         prev = self.pending
         self.seed(requests, callback)
         if prev is not None:
+            # APPEND means FIFO-after: the new batch's ranks restart at 1,
+            # so shift them past max(prev.seq) or they interleave with
+            # (and tie against) the batch already pending.  enqueue is a
+            # driver-API call, not the epoch hot path, so one agg job on
+            # the pending frame is fine.
+            hwm = prev.agg(F.max("seq")).first()[0] or 0
             self.pending = prev.unionByName(
-                self.pending, allowMissingColumns=True
+                self.pending.withColumn("seq", F.col("seq") + F.lit(int(hwm))),
+                allowMissingColumns=True,
             )
         self._pending_rows = None
+
+    # -- handler dispatch (J5/§2.10; processor/project_module.py) -----------
+    def _cb_items(self):
+        """Iterate (project, callback-name, Callback) over the handler
+        registry — every dispatch-sensitive stage derives its driver-side
+        key lists from this, so legacy and multi-handler modes share one
+        code path."""
+        for proj, h in self.handlers.items():
+            for name, cb in h.callbacks.items():
+                yield proj, name, cb
+
+    def _dispatch_col(self):
+        """Column the parse/emit/status stages dispatch on: callback name
+        in legacy mode, project\\x1fcallback in multi-handler mode (so the
+        same callback name can mean different specs per project)."""
+        if self._multi:
+            return F.concat_ws(_DSEP, F.col("project"), F.col("callback"))
+        return F.col("callback")
+
+    def _dkey(self, proj: str, name: str) -> str:
+        return f"{proj}{_DSEP}{name}" if self._multi else name
 
     # -- control rows: cron / messages / on_finished (W7, W8, §2.10) -------
     def send_message(self, project: str, message: str) -> None:
@@ -402,20 +485,21 @@ class CrawlEngine:
         rows: list[tuple] = []
         base_seq = self.epoch * 1_000_000_000 + 900_000_000
         tick = int(round(now - self.base_ts))
-        for name, cb in self.handler.callbacks.items():
+        for proj, name, cb in self._cb_items():
             # fire whenever the interval has ELAPSED since the last
             # firing (reference @every semantics, base_handler.py:69-98)
             # — not `tick % every == 0`, which never fires when `every`
             # is not a multiple of the epoch interval
-            if cb.every and tick - self._cron_last.get(name, 0) >= cb.every:
-                self._cron_last[name] = tick
+            ck = self._dkey(proj, name)
+            if cb.every and cron_due(tick, self._cron_last.get(ck, 0), cb.every):
+                self._cron_last[ck] = tick
                 rows.append(
-                    (f"data:,on_cronjob:{name}:{tick}", self.project, 9, 0.0,
+                    (f"data:,on_cronjob:{name}:{tick}", proj, 9, 0.0,
                      name, base_seq + len(rows))
                 )
                 for s in cb.cron_seeds:
                     rows.append(
-                        (s, self.project, None, 0.0,
+                        (s, proj, None, 0.0,
                          cb.link_callback or name, base_seq + len(rows))
                     )
         if self._projects is not None:
@@ -423,7 +507,6 @@ class CrawlEngine:
             # load/update, a synthetic data: task queries the handler's
             # info; the driver-side info (min_tick from @every) updates
             # immediately, the control row documents the round-trip.
-            intervals = [cb.every for cb in self.handler.callbacks.values() if cb.every]
             for p in sorted(self._projects):
                 if p in self._get_info_sent:
                     continue
@@ -433,6 +516,10 @@ class CrawlEngine:
                 ):
                     continue
                 self._get_info_sent.add(p)
+                # info comes from the PROJECT's own handler (the
+                # reference asks the project's script module)
+                hp = self.handlers.get(p, self.handler)
+                intervals = [cb.every for cb in hp.callbacks.values() if cb.every]
                 self._projects[p]["info"] = {
                     "min_tick": min(intervals) if intervals else 0
                 }
@@ -446,11 +533,15 @@ class CrawlEngine:
                  base_seq + len(rows))
             )
         self._messages = []
-        if self._fire_on_finished and "on_finished" in self.handler.callbacks:
-            rows.append(
-                (f"data:,on_finished:{tick}", self.project, 9, 0.0,
-                 "on_finished", base_seq + len(rows))
-            )
+        if self._fire_on_finished:
+            # one firing per project whose handler defines on_finished
+            # (scheduler.py:541-562 fires per project on queue drain)
+            for proj, h in self.handlers.items():
+                if "on_finished" in h.callbacks:
+                    rows.append(
+                        (f"data:,on_finished:{tick}", proj, 9, 0.0,
+                         "on_finished", base_seq + len(rows))
+                    )
         self._fire_on_finished = False
         if not rows:
             return None
@@ -472,14 +563,33 @@ class CrawlEngine:
             if v.get("status", "RUNNING") in self.ACTIVE_PROJECT_STATUSES
         ]
 
-    def update_project(self, name: str, **fields) -> None:
+    def update_project(self, name: str, handler: Handler | None = None, **fields) -> None:
         """projectdb insert/update (scheduler.py:207-247 _update_projects):
         merge the fields and re-arm the `_on_get_info` handshake so the
-        next epoch re-queries the project's handler info."""
+        next epoch re-queries the project's handler info.
+
+        ``handler=`` replaces the project's Handler in the registry — the
+        hot-reload analogue of the reference's md5sum/updatetime script
+        reload (processor/project_module.py:52-87): subsequent epochs
+        dispatch the project's rows through the NEW spec, and the
+        handshake re-arms so `_on_get_info` re-reads its @every info."""
         if self._projects is None:
             self._projects = {}
             self.project_token_state = FR.empty_token_state(self.spark)
         self._projects.setdefault(name, {}).update(fields)
+        if handler is not None:
+            if not self._multi:
+                # promote to (project, callback) dispatch; migrate cron
+                # state keyed by bare callback name to the legacy
+                # project's keys so @every firings don't reset
+                self._multi = True
+                self._cron_last = {
+                    f"{self.project}{_DSEP}{k}": v
+                    for k, v in self._cron_last.items()
+                }
+            self.handlers[name] = handler
+            if name == self.project:
+                self.handler = handler
         self._get_info_sent.discard(name)
 
     def _paused_projects(self) -> list[str]:
@@ -569,7 +679,11 @@ class CrawlEngine:
                 ("itag", "string", None),
                 ("auto_recrawl", "boolean", False),
             ):
-                cfg = _callback_case(self.handler, key, dtype, dflt)
+                cfg = _callback_case(
+                    [(self._dkey(p, n), cb) for p, n, cb in self._cb_items()],
+                    self._dispatch_col(),
+                    key, dtype, dflt,
+                )
                 if key in inc.columns:
                     inc = inc.withColumn(key, F.coalesce(F.col(key).cast(dtype), cfg))
                 else:
@@ -663,6 +777,16 @@ class CrawlEngine:
             proj_budgets = proj_bucket.select(
                 F.col("host").alias("project"), "budget"
             )
+        # driver-known hints that let select_batch skip its per-epoch
+        # qsizes job: project count from the dim (frontier projects are
+        # verify-gated to it), ready-row upper bound = last committed
+        # frontier + this epoch's ingest
+        nproj_hint = len(self._projects) if self._projects is not None else 1
+        total_hint = (
+            self._frontier_rows + m["ingested"]
+            if self._frontier_rows is not None
+            else None
+        )
         selected, used = FR.select_batch(
             select_src,
             self.token_state,
@@ -672,6 +796,8 @@ class CrawlEngine:
             n_salts=self.n_salts,
             salt_threshold=self.salt_threshold,
             project_budgets=proj_budgets,
+            n_projects=nproj_hint,
+            total_ready=total_hint,
         )
         selected = selected.cache()
         caches.append(selected)
@@ -755,9 +881,7 @@ class CrawlEngine:
                 #    the task batch — a small×small shuffle join.
                 use_probe = (
                     n_selected > self.fetch_broadcast_rows
-                    and not any(
-                        cb.parse for cb in self.handler.callbacks.values()
-                    )
+                    and not any(cb.parse for _, _, cb in self._cb_items())
                 )
                 if use_probe:
                     pre_parsed = True
@@ -776,8 +900,18 @@ class CrawlEngine:
                     )
                     hit_join = http_rows.join(parsed, "url", "inner")
                 else:
+                    # custom-parse callbacks need the raw html row-side,
+                    # so the probe path is off; only hint broadcast when
+                    # the batch is under the cap — above it, leave the
+                    # join unhinted and let AQE pick the strategy rather
+                    # than force an unbounded driver-built broadcast
+                    batch = (
+                        F.broadcast(http_rows)
+                        if n_selected <= self.fetch_broadcast_rows
+                        else http_rows
+                    )
                     hit_join = page_side.join(
-                        F.broadcast(http_rows),
+                        batch,
                         http_rows["url"] == page_side["_p_url"],
                         "inner",
                     ).drop("_p_url")
@@ -802,14 +936,18 @@ class CrawlEngine:
             else:
                 fetched = hit_join.unionByName(data_rows)
             catch_cbs = [
-                n for n, cb in self.handler.callbacks.items()
+                self._dkey(p, n) for p, n, cb in self._cb_items()
                 if cb.catch_status_code_error
             ]
             catch = (
-                F.col("callback").isin(catch_cbs) if catch_cbs else F.lit(False)
+                self._dispatch_col().isin(catch_cbs) if catch_cbs else F.lit(False)
             )
             eff_status, process_f, fetch_ok_f = fetch_status_flags(
-                F.col("_p_status"), F.col("last_etag"), F.col("_p_etag"), catch
+                F.col("_p_status"),
+                F.col("last_etag"),
+                F.col("_p_etag"),
+                catch,
+                coerce_304=(self.fetch_mode != "http"),
             )
             flagged = (
                 fetched.withColumn("_status_code", eff_status)
@@ -818,7 +956,9 @@ class CrawlEngine:
             )
             gated_html = F.when(F.col("_process"), F.col("_p_html"))
             custom = {
-                n: cb.parse for n, cb in self.handler.callbacks.items() if cb.parse
+                self._dkey(p, n): cb.parse
+                for p, n, cb in self._cb_items()
+                if cb.parse
             }
             if pre_parsed:
                 # probe path already parsed page-side (once per distinct
@@ -833,27 +973,29 @@ class CrawlEngine:
                 # parser.  One branch per distinct callback, unioned —
                 # each branch is its own Arrow stage over its subset.
                 branches = [
-                    flagged.filter(~F.col("callback").isin(list(custom)))
+                    flagged.filter(~self._dispatch_col().isin(list(custom)))
                     .withColumn("_parsed", parse_page_meta(F.col("url"), gated_html))
                     .withColumn("_title", F.col("_parsed.title"))
                     .withColumn("_links", F.col("_parsed.links"))
                     .withColumn("_result", F.lit(None).cast("string"))
+                    .drop("_parsed")
                 ]
-                for name, fn in custom.items():
+                for dkey, fn in custom.items():
                     udf = make_parse_udf(fn)
                     branches.append(
-                        flagged.filter(F.col("callback") == name)
+                        flagged.filter(self._dispatch_col() == dkey)
                         .withColumn(
                             "_parsed", udf(F.col("url"), gated_html, F.col("save"))
                         )
                         .withColumn("_title", F.col("_parsed.title"))
                         .withColumn("_links", F.col("_parsed.links"))
                         .withColumn("_result", F.col("_parsed.result"))
+                        .drop("_parsed")
                     )
                 ok = branches[0]
                 for b in branches[1:]:
                     ok = ok.unionByName(b)
-                ok = ok.drop("_p_html", "_parsed", "_p_status")
+                ok = ok.drop("_p_html", "_p_status")
             else:
                 ok = (
                     flagged.withColumn(
@@ -888,10 +1030,12 @@ class CrawlEngine:
                 "left_anti",
             )
 
-            emitters = self.handler.result_emitters()
+            emitters = [
+                self._dkey(p, n) for p, n, cb in self._cb_items() if cb.emit_result
+            ]
             if emitters:
                 results = ok.filter(
-                    F.col("_process") & F.col("callback").isin(emitters)
+                    F.col("_process") & self._dispatch_col().isin(emitters)
                 ).select(
                     "taskid",
                     "project",
@@ -906,7 +1050,11 @@ class CrawlEngine:
                     F.lit(now).alias("updatetime"),
                 )
 
-            link_emitters = self.handler.link_emitters()
+            link_emitters = [
+                self._dkey(p, n)
+                for p, n, cb in self._cb_items()
+                if cb.extract_links
+            ]
             _t = _time.monotonic()
             if link_emitters:
                 # deterministic FIFO rank of this epoch's parents by seq;
@@ -918,8 +1066,8 @@ class CrawlEngine:
                 # the tiny (seq, rank) frame back onto the parents: AQE
                 # broadcasts it, so the link arrays never move.
                 parents_full = ok.filter(
-                    F.col("_process") & F.col("callback").isin(link_emitters)
-                ).select("seq", "callback", "save", "_links")
+                    F.col("_process") & self._dispatch_col().isin(link_emitters)
+                ).select("seq", "project", "callback", "save", "_links")
                 ranked = FR.with_global_rank(
                     parents_full.select("seq"),
                     "_parent_rank",
@@ -931,21 +1079,31 @@ class CrawlEngine:
                 parents = parents_full.join(ranked, "seq")
                 lc = F.lit(None).cast("string")
                 fs = F.lit(None).cast("string")  # forwarded save payload
-                for name in link_emitters:
-                    cb = self.handler.callbacks[name]
-                    lc = F.when(F.col("callback") == name, F.lit(cb.link_callback)).otherwise(lc)
+                for p, n, cb in self._cb_items():
+                    if not cb.extract_links:
+                        continue
+                    cond = self._dispatch_col() == self._dkey(p, n)
+                    lc = F.when(cond, F.lit(cb.link_callback)).otherwise(lc)
                     if cb.forward_save:
-                        fs = F.when(F.col("callback") == name, F.col("save")).otherwise(fs)
+                        fs = F.when(cond, F.col("save")).otherwise(fs)
+                # follows INHERIT the parent's project (processor.py:
+                # 110-121 — the project's own script emits its crawls);
+                # legacy single-handler mode keeps the engine-wide
+                # project literal (all rows carry it anyway)
+                follow_proj = (
+                    F.col("project") if self._multi else F.lit(self.project)
+                )
                 follows = (
                     parents.select(
                         F.col("_parent_rank"),
+                        F.col("project"),
                         lc.alias("_link_callback"),
                         fs.alias("_save"),
                         F.posexplode(F.col("_links")).alias("_link_idx", "_link_url"),
                     )
                     .select(
                         F.col("_link_url").alias("url"),
-                        F.lit(self.project).alias("project"),
+                        follow_proj.alias("project"),
                         F.col("_link_callback").alias("callback"),
                         (
                             F.lit((self.epoch + 1) * 1_000_000_000)
@@ -974,20 +1132,27 @@ class CrawlEngine:
                     .withColumn("etag", F.lit(None).cast("string"))
                 )
             )
-            nss_cbs = [
-                n for n, cb in self.handler.callbacks.items() if cb.not_send_status
+            nss_keys = [
+                self._dkey(p, n)
+                for p, n, cb in self._cb_items()
+                if cb.not_send_status
             ]
-            if self._projects is not None and "_on_get_info" not in self.handler.callbacks:
+            nss_pred = (
+                self._dispatch_col().isin(nss_keys) if nss_keys else F.lit(False)
+            )
+            if self._projects is not None and all(
+                "_on_get_info" not in h.callbacks for h in self.handlers.values()
+            ):
                 # the handshake task is ephemeral — never tracked
                 # (scheduler.py:232-247 consumes it without a status)
-                nss_cbs.append("_on_get_info")
-            if nss_cbs:
+                nss_pred = nss_pred | (F.col("callback") == "_on_get_info")
+            if nss_keys or self._projects is not None:
                 # @not_send_status: the scheduler never hears about these
                 # tasks; drop the ephemeral rows instead of folding SUCCESS
-                drop_keys = statuses.filter(F.col("callback").isin(nss_cbs)).select(
+                drop_keys = statuses.filter(nss_pred).select(
                     "project", "taskid"
                 )
-                statuses = statuses.filter(~F.col("callback").isin(nss_cbs))
+                statuses = statuses.filter(~nss_pred)
                 self.frontier = FR.apply_status(
                     self.frontier, statuses.drop("callback"), now
                 )
@@ -1060,6 +1225,7 @@ class CrawlEngine:
         m["n_results"] = manifest["tables"].get("results", {}).get("rows", 0)
         m["n_pending"] = manifest["tables"].get("pending", {}).get("rows", 0)
         m["frontier_rows"] = manifest["tables"]["frontier"]["rows"]
+        self._frontier_rows = manifest["tables"]["frontier"]["rows"]
 
         # reload committed state: truncates lineage AND makes the next
         # epoch start from exactly what a resume would see
@@ -1099,6 +1265,7 @@ class CrawlEngine:
         eng.epoch = last
         manifest = eng.store.manifest(last)
         eng.frontier = eng.store.read("frontier", last)
+        eng._frontier_rows = manifest["tables"]["frontier"]["rows"]
         eng.token_state = eng.store.read("token_state", last)
         if "seen_shards" in manifest["tables"]:
             eng.seen_shards = eng.store.read("seen_shards", last)

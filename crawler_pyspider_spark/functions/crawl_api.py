@@ -52,7 +52,10 @@ def build_url(url: str, params: dict | None = None) -> str:
     if not path:
         path = "/"
     if params:
-        extra = urlencode(sorted(params.items()))
+        # insertion order, matching reference _build_url (libs/url.py:29-59)
+        # byte-for-byte — sorting would shift md5 taskids / dedup keys
+        # for multi-param requests
+        extra = urlencode(params)
         query = f"{query}&{extra}" if query else extra
     return urlunparse([scheme, netloc, path, parms, query, fragment])
 

@@ -341,6 +341,8 @@ def select_batch(
     n_salts: int = 8,
     salt_threshold: int = 10000,
     project_budgets: DataFrame | None = None,
+    n_projects: int | None = None,
+    total_ready: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Politeness-budgeted, priority-ordered select (W1+W2+W3+W4).
 
@@ -367,6 +369,15 @@ def select_batch(
     lease (exetime = now + 600 — task_queue.py:227-242) and
     budgets_used = (host, n_selected, tokens_avail, rate, burst) for the
     token-state update.
+
+    ``n_projects`` / ``total_ready`` are driver-known HINTS that skip
+    the per-epoch qsizes collect job: when the caller declares a single
+    project, the fairness quota can never bind, and when it supplies an
+    UPPER BOUND on the ready-row count that is ≤ ``loop_limit``, the
+    global cap can never bind either — both checks then cost zero Spark
+    jobs.  A wrong upper bound only costs an unnecessary sort-limit
+    (correctness is unaffected); ``None`` falls back to computing the
+    exact sizes.
     """
     ready = frontier.filter(ready_filter(now))
 
@@ -413,10 +424,15 @@ def select_batch(
     per_host = nonbinding.unionByName(ranked)
 
     # per-project quota (W3) then global LOOP_LIMIT cap (T2)
-    qsizes = ready.groupBy("project").agg(F.count("*").alias("_qsize"))
-    qrows = qsizes.collect()  # one row per project — dim-sized, one job
-    total = sum(r["_qsize"] for r in qrows)
-    nproj = len(qrows)
+    if n_projects == 1 and total_ready is not None:
+        # single project ⇒ quota can't bind; caller-supplied ready
+        # bound decides the global cap — no qsizes job this epoch
+        qsizes, total, nproj = None, total_ready, 1
+    else:
+        qsizes = ready.groupBy("project").agg(F.count("*").alias("_qsize"))
+        qrows = qsizes.collect()  # one row per project — dim-sized, one job
+        total = sum(r["_qsize"] for r in qrows)
+        nproj = len(qrows)
     cap = None
     if nproj > 1 and total > 0:
         quota = project_quotas(qsizes, total, loop_limit).select("project", "_quota")
@@ -539,22 +555,38 @@ def with_global_rank(
     scale past one process.
     """
     if approx_rows is not None and approx_rows <= small_threshold:
-        w = Window.partitionBy(F.lit(1)).orderBy(*order)
-        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        # Single-reducer rank WITHOUT WindowExec's no-partition plan:
+        # exchange to one partition (upstream stages keep their
+        # parallelism), sort inside it, and number rows by physical
+        # order — monotonically_increasing_id in partition 0 is the
+        # 0-based row index.  Same data movement as the unpartitioned
+        # window, none of its "No Partition Defined" straggler shape in
+        # the plan; callers keep this path for small inputs only (the
+        # engine ranks an 8-byte seq column, so the threshold rows are
+        # ~tens of MB in the one task).
+        one = df.repartition(1).sortWithinPartitions(*order)
+        return one.withColumn(
+            rank_col, (F.monotonically_increasing_id() + 1).cast("long")
+        )
     parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     rp = df.repartitionByRange(parts, *order).withColumn(
         "_grk_pid", F.spark_partition_id()
     )
-    # Persist BEFORE collecting per-partition counts: the range
-    # partitioner samples the sort key with a per-job seed (and AQE may
-    # re-coalesce), so an unpersisted rp could partition DIFFERENTLY in
-    # the downstream job than in the count job — duplicate/missing seq
-    # ranks.  The cache pins one physical partitioning for both reads;
-    # the count job below materializes it.  Callers pass ``cache_list``
-    # to unpersist after the ranked output is materialized.
-    rp = rp.persist()
+    # Pin the partitioning BEFORE collecting per-partition counts: the
+    # range partitioner samples the sort key with a per-job seed (and
+    # AQE may re-coalesce), so an unpinned rp could partition
+    # DIFFERENTLY in the downstream job than in the count job —
+    # duplicate/missing seq ranks.  Callers that pass ``cache_list``
+    # get a persist() handle to unpersist once the ranked output is
+    # materialized; handle-less callers get localCheckpoint instead —
+    # same pinning, but the blocks are reclaimed by the ContextCleaner
+    # when the plan goes out of scope, so repeated direct calls don't
+    # accumulate CacheManager entries.
     if cache_list is not None:
+        rp = rp.persist()
         cache_list.append(rp)
+    else:
+        rp = rp.localCheckpoint(eager=True)
     cnts = {
         r["_grk_pid"]: r["cnt"]
         for r in rp.groupBy("_grk_pid").agg(F.count("*").alias("cnt")).collect()

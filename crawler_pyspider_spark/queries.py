@@ -76,7 +76,11 @@ def q_frontier_rank(spark, sf_dir):
         .withColumn("burst", F.lit(3.0))
     )
     selected, _ = FR.select_batch(
-        tasks, FR.empty_token_state(spark), pol, now=1.0, loop_limit=1 << 40
+        tasks, FR.empty_token_state(spark), pol, now=1.0, loop_limit=1 << 40,
+        # single project, and loop_limit is set unreachable — the hints
+        # skip the qsizes collect job (the bound only has to stay under
+        # loop_limit for the cap-skip to be valid)
+        n_projects=1, total_ready=1 << 39,
     )
     return selected.select(
         F.regexp_replace("host", "^h", "").cast("long").alias("user_id"),
@@ -897,8 +901,13 @@ def q_status_gate(spark, sf_dir):
 
 
 def q_cron_due(spark, sf_dir):
-    """W7 — @every cron tick gating (scheduler.py:420-450,
-    base_handler.py:69-120): callback is due when tick % interval == 0."""
+    """W7 — @every cron gating through the ENGINE's due rule
+    (engine.cron_due, shared with ``_control_rows``; base_handler.py:
+    69-120, scheduler.py:420-450): a callback fires when the interval
+    has ELAPSED since its last firing, so a `_cron_last` semantics
+    regression flips this CORRECTNESS row."""
+    from crawler_pyspider_spark.engine import cron_due
+
     e = _t(spark, sf_dir, "events").select(
         "event_id",
         F.when(F.col("user_id") % 3 == 0, 60)
@@ -906,9 +915,14 @@ def q_cron_due(spark, sf_dir):
         .otherwise(900)
         .alias("interval"),
         (F.col("event_id") % 1800).alias("tick"),
+        # simulated last-fired tick, strictly before tick
+        ((F.col("event_id") * 7) % 1800 % F.greatest(
+            (F.col("event_id") % 1800) + 1, F.lit(1)
+        )).alias("last_fired"),
     )
     return e.select(
-        "event_id", "interval", "tick", (F.col("tick") % F.col("interval") == 0).alias("due")
+        "event_id", "interval", "tick", "last_fired",
+        cron_due(F.col("tick"), F.col("last_fired"), F.col("interval")).alias("due"),
     )
 
 
@@ -991,6 +1005,43 @@ def q_robots_filter(spark, sf_dir):
         .when(F.col("id") == 2, F.array(F.lit("/p/1")))
         .otherwise(F.array().cast("array<string>"))
         .alias("disallow_prefixes"),
+    )
+    return robots_gate(tasks, rules).select("doc_id", "url", "robots_allowed")
+
+
+def q_robots_precedence(spark, sf_dir):
+    """F8/J6 — FULL Allow/Disallow precedence through the engine's
+    robots_gate rules path (operators/robots.py; urllib.robotparser
+    Entry.allowance semantics the reference relies on,
+    tornado_fetcher.py:303-338): rules are checked in FILE ORDER and
+    the first matching path decides — an Allow ahead of a broad
+    Disallow opens a subtree, an Allow behind one is dead code.  The
+    rule arrays are literal (the robots.txt -> rules parse itself is
+    parity-tested against robotparser in tests/test_robots.py)."""
+    from crawler_pyspider_spark.operators.robots import robots_gate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    n = F.col("doc_id").cast("string")
+    path = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("/public/"), n)
+    ).otherwise(F.concat(F.lit("/p/"), n))
+    tasks = d.withColumn(
+        "url", F.concat(F.lit("http://host"), k, F.lit(".test"), path)
+    ).withColumn("host", F.concat(F.lit("host"), k, F.lit(".test")))
+
+    def rule(p, allow):
+        return F.struct(F.lit(p).alias("path"), F.lit(allow).alias("allow"))
+
+    empty = F.array().cast("array<struct<path:string,allow:boolean>>")
+    rules = spark.range(7).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.when(F.col("id") == 0, F.array(rule("/public/", True), rule("/", False)))
+        .when(F.col("id") == 1, F.array(rule("/p/", False), rule("/p/1", True)))
+        .when(F.col("id") == 4, F.array(rule("/", False)))
+        .when(F.col("id") == 5, F.array(rule("/p/", True), rule("/", False)))
+        .otherwise(empty)
+        .alias("rules"),
     )
     return robots_gate(tasks, rules).select("doc_id", "url", "robots_allowed")
 
@@ -1196,6 +1247,7 @@ QUERIES = {
     "common_fields": q_common_fields,
     "url_canon": q_url_canon,
     "robots_filter": q_robots_filter,
+    "robots_precedence": q_robots_precedence,
     "link_extract": q_link_extract,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1700,13 +1752,18 @@ ORACLE_SQL = {
         FROM f
     """,
     "cron_due": """
-        SELECT event_id,
-               CASE WHEN user_id % 3 = 0 THEN 60
-                    WHEN user_id % 3 = 1 THEN 300 ELSE 900 END AS interval,
-               event_id % 1800 AS tick,
-               (event_id % 1800) % (CASE WHEN user_id % 3 = 0 THEN 60
-                    WHEN user_id % 3 = 1 THEN 300 ELSE 900 END) = 0 AS due
-        FROM events
+        WITH e AS (
+            SELECT event_id,
+                   CASE WHEN user_id % 3 = 0 THEN 60
+                        WHEN user_id % 3 = 1 THEN 300 ELSE 900 END AS interval,
+                   event_id % 1800 AS tick,
+                   (event_id * 7) % 1800
+                       % GREATEST((event_id % 1800) + 1, 1) AS last_fired
+            FROM events
+        )
+        SELECT event_id, interval, tick, last_fired,
+               (tick - last_fired) >= interval AS due
+        FROM e
     """,
     "common_fields": """
         WITH e AS (
@@ -1755,6 +1812,28 @@ ORACLE_SQL = {
                          AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN false
                     ELSE true END AS robots_allowed
         FROM documents
+    """,
+    "robots_precedence": """
+        WITH d AS (
+            SELECT doc_id, doc_id % 7 AS k,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '/public/' || CAST(doc_id AS VARCHAR)
+                        ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+            FROM documents
+        )
+        SELECT doc_id,
+               'http://host' || CAST(k AS VARCHAR) || '.test' || path AS url,
+               CASE k
+                    -- first-match file order: host0 [/public/ A, / D]
+                    WHEN 0 THEN doc_id % 2 = 0
+                    -- host1 [/p/ D, /p/1 A]: the Allow is dead code
+                    WHEN 1 THEN doc_id % 2 = 0
+                    -- host4 [/ D]: deny all
+                    WHEN 4 THEN false
+                    -- host5 [/p/ A, / D]
+                    WHEN 5 THEN doc_id % 2 = 1
+                    ELSE true END AS robots_allowed
+        FROM d
     """,
     "link_extract": """
         WITH d AS (

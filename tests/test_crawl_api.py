@@ -28,6 +28,12 @@ def test_build_url_merges_params():
     assert build_url("http://h.test/p?a=1", {"b": 2}) == "http://h.test/p?a=1&b=2"
     assert build_url("http://h.test", None) == "http://h.test/"
     assert build_url("http://h.test/p", {"x": "y z"}) == "http://h.test/p?x=y+z"
+    # insertion order preserved (libs/url.py urlencode of caller dict),
+    # NOT sorted — taskids depend on the exact byte sequence
+    assert (
+        build_url("http://h.test/p", {"z": 1, "a": 2})
+        == "http://h.test/p?z=1&a=2"
+    )
 
 
 def test_curl_to_arguments():
