@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each query (omitted entries are
-    rows-only checks: ann_lsh_buckets uses engine-specific float sums)."""
+    """DuckDB-equivalent SQL for each query — every ``queries()`` entry
+    has a full oracle (no rows-only checks; ann_lsh_buckets mirrors the
+    quantized-SRP hash in SQL)."""
     return dict(ORACLE_SQL)

@@ -36,11 +36,20 @@ BENCH_QUERIES = [
 ]
 
 
-def time_query(fn, spark, sf_dir) -> float:
-    t0 = time.monotonic()
-    df = fn(spark, sf_dir)
-    df.count()
-    return time.monotonic() - t0
+def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
+    """Best-of-``reps`` wall seconds — the same noisy-VM defense as
+    tools/scaling_bench.py's best-of-3: the first execution of a plan
+    shape pays one-time JVM classload/codegen for its operators (a
+    window-heavy plan can pay seconds), which is per-process overhead,
+    not per-query cost; a service amortizes it across epochs."""
+    best = None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.count()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def crawl_bench(

@@ -270,6 +270,7 @@ class CrawlEngine:
         fetch_mode: str = "pages",
         fetch_pool_size: int = 100,
         fetch_timeout: float = 20.0,
+        max_redirects: int = 5,
     ):
         self.spark = spark
         self.pages = pages
@@ -364,6 +365,22 @@ class CrawlEngine:
         self.fetch_mode = fetch_mode
         self.fetch_pool_size = fetch_pool_size
         self.fetch_timeout = fetch_timeout
+        # Redirect support (tornado_fetcher.py:371-427 manual
+        # follow_redirects with a hop budget): the 30x edge table is
+        # derived from the pages frame ONCE here — dim-sized, persisted
+        # — and probed per epoch only when the world actually contains
+        # redirects; an all-200 world costs zero extra joins.
+        self.max_redirects = max_redirects
+        from crawler_pyspider_spark.operators.redirects import redirect_edges
+
+        self._redirect_edges = (
+            redirect_edges(pages) if fetch_mode == "pages" else None
+        )
+        if self._redirect_edges is not None:
+            self._redirect_edges = self._redirect_edges.persist()
+            if not self._redirect_edges.head(1):
+                self._redirect_edges.unpersist()
+                self._redirect_edges = None
         self._projects: dict[str, dict] | None = (
             {k: dict(v) for k, v in projects.items()} if projects else None
         )
@@ -419,7 +436,7 @@ class CrawlEngine:
         # single-partition window (seed lists can be millions of urls)
         s = FR.with_global_rank(s, "seq", [F.asc("url")], cache_list=self._extra_caches)
         cols = ["url", "project", "priority", "exetime", "callback", "seq"]
-        for opt in ("save", "custom_taskid"):
+        for opt in ("save", "custom_taskid", "fetch"):
             if opt in s.columns:
                 cols.append(opt)
         self.pending = s.select(*cols)
@@ -838,6 +855,23 @@ class CrawlEngine:
                 .withColumn("_p_etag", F.lit(None).cast("string"))
             )
             http_rows = allowed.filter(~is_data)
+            if self._redirect_edges is not None:
+                # rewrite url to the chain end (≤ max_redirects hops);
+                # taskid stays keyed on orig_url — the scheduler never
+                # sees intermediate hops (reference semantics)
+                from crawler_pyspider_spark.operators.redirects import (
+                    resolve_redirects,
+                )
+
+                http_rows = resolve_redirects(
+                    http_rows, self._redirect_edges, self.max_redirects
+                )
+            if self._redirect_edges is not None or self.fetch_mode == "http":
+                # http mode's fetch stage always reports the chain
+                # columns too — keep the data: branch union-compatible
+                data_rows = data_rows.withColumn(
+                    "orig_url", F.col("url")
+                ).withColumn("_redirects", F.lit(0))
             pre_parsed = False  # probe path parses page-side, before join-back
             if self.fetch_mode == "http":
                 # production path: repartition by host_bucket (few hosts
@@ -1009,15 +1043,25 @@ class CrawlEngine:
             ok = ok.cache()
             caches.append(ok)
             _t = _time.monotonic()
-            fc = ok.agg(
+            aggs = [
                 F.count("*").alias("n"),
                 F.coalesce(F.sum(F.col("_fetch_ok").cast("int")), F.lit(0)).alias("n_ok"),
                 F.coalesce(
                     F.sum((F.col("_status_code") == 304).cast("int")), F.lit(0)
                 ).alias("n_304"),
-            ).collect()[0]
+            ]
+            has_rd = "_redirects" in ok.columns
+            if has_rd:
+                aggs.append(
+                    F.coalesce(
+                        F.sum((F.col("_redirects") > 0).cast("int")), F.lit(0)
+                    ).alias("n_redirected")
+                )
+            fc = ok.agg(*aggs).collect()[0]
             m["fetched_ok"] = int(fc["n_ok"])
             m["fetched_not_modified"] = int(fc["n_304"])
+            if has_rd:
+                m["redirected"] = int(fc["n_redirected"])
             m["fetch_error"] = int(fc["n"]) - int(fc["n_ok"])
             m["t_fetch_parse"] = round(_time.monotonic() - _t, 2)
 

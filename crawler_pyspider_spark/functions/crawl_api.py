@@ -144,8 +144,16 @@ class time_limit:
 
 SEED_COLUMNS = [
     "url", "project", "priority", "exetime", "callback", "save",
-    "custom_taskid",
+    "custom_taskid", "fetch",
 ]
+
+# fetch-protocol kwargs that travel with the task (the reference task
+# dict's `fetch` compartment — tornado_fetcher.py:232-301 consumes
+# method/headers/cookies/data/proxy/user_agent/timeout per request)
+FETCH_KEYS = (
+    "method", "headers", "cookies", "data", "user_agent", "timeout",
+    "proxy", "use_gzip", "validate_cert",
+)
 
 
 class CrawlBuilder:
@@ -253,6 +261,7 @@ class CrawlBuilder:
         import json
 
         k = self._kwargs
+        fetch = {fk: k[fk] for fk in FETCH_KEYS if k.get(fk) is not None}
         return (
             self.get_url(),
             k.get("project", project),
@@ -261,6 +270,7 @@ class CrawlBuilder:
             k.get("callback", "index_page"),
             json.dumps(self._save, sort_keys=True) if self._save else None,
             k.get("taskid"),
+            json.dumps(fetch, sort_keys=True) if fetch else None,
         )
 
 
@@ -270,7 +280,7 @@ def builders_to_df(spark, builders, project: str = "bench"):
     return spark.createDataFrame(
         rows,
         "url string, project string, priority int, exetime double,"
-        " callback string, save string, custom_taskid string",
+        " callback string, save string, custom_taskid string, fetch string",
     )
 
 

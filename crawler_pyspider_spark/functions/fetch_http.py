@@ -43,22 +43,81 @@ from pyspark.sql.types import (
 
 USER_AGENT = "spark-frontier/1.0"
 CONNECTION_ERROR_CODE = 599  # tornado_fetcher handle_error convention
+REDIRECT_CODES = (301, 302, 303, 307, 308)
+MAX_REDIRECTS = 5  # tornado_fetcher.py max_redirects default
 
 
-def fetch_one(url: str, etag: str | None, timeout: float):
-    """One conditional GET -> (body|None, status_code, etag|None)."""
-    req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
-    if etag:
-        req.add_header("If-None-Match", etag)
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return resp.read(), int(resp.status), resp.headers.get("ETag")
-    except urllib.error.HTTPError as e:
-        if e.code == 304:
-            return None, 304, etag
-        return None, int(e.code), None
-    except Exception:
-        return None, CONNECTION_ERROR_CODE, None
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    """Disable urllib's silent auto-follow: 30x must surface so the
+    fetch loop can track the chain (orig_url vs final url, hop budget)
+    the way the reference fetcher does (tornado_fetcher.py:371-427)."""
+
+    def redirect_request(self, *args, **kwargs):  # noqa: D102
+        return None
+
+
+_OPENER = urllib.request.build_opener(_NoRedirect)
+
+
+def fetch_one(url: str, etag: str | None, timeout: float, fetch_json: str | None = None):
+    """One conditional request following ≤ MAX_REDIRECTS manually ->
+    (body|None, status_code, etag|None, final_url, n_redirects).
+
+    ``fetch_json`` is the task's fetch-options compartment (the
+    reference task dict's ``fetch``; tornado_fetcher.py:232-301 consumes
+    method/headers/cookies/data/user_agent/timeout per request).  POST
+    bodies redirect per RFC: 301/302/303 re-issue as GET without the
+    body, 307/308 preserve method+body."""
+    method, data, extra_headers, per_timeout = "GET", None, {}, timeout
+    if fetch_json:
+        try:
+            import json
+
+            opts = json.loads(fetch_json)
+            method = str(opts.get("method", "GET")).upper()
+            d = opts.get("data")
+            if d is not None:
+                data = d.encode() if isinstance(d, str) else bytes(d)
+                if method == "GET":
+                    method = "POST"  # data implies POST (reference _build_url)
+            for hk, hv in (opts.get("headers") or {}).items():
+                extra_headers[str(hk)] = str(hv)
+            ck = opts.get("cookies")
+            if ck:
+                extra_headers["Cookie"] = "; ".join(
+                    f"{k}={v}" for k, v in ck.items()
+                )
+            if opts.get("user_agent"):
+                extra_headers["User-Agent"] = str(opts["user_agent"])
+            if opts.get("timeout"):
+                per_timeout = float(opts["timeout"])
+        except (ValueError, TypeError, AttributeError):
+            pass  # malformed fetch payload -> plain GET (never kill the batch)
+    cur, hops = url, 0
+    while True:
+        headers = {"User-Agent": USER_AGENT, **extra_headers}
+        req = urllib.request.Request(cur, data=data, headers=headers, method=method)
+        if etag:
+            req.add_header("If-None-Match", etag)
+        try:
+            with _OPENER.open(req, timeout=per_timeout) as resp:
+                return resp.read(), int(resp.status), resp.headers.get("ETag"), cur, hops
+        except urllib.error.HTTPError as e:
+            if e.code in REDIRECT_CODES and hops < MAX_REDIRECTS:
+                loc = e.headers.get("Location")
+                if loc:
+                    from urllib.parse import urljoin
+
+                    cur = urljoin(cur, loc)
+                    hops += 1
+                    if e.code in (301, 302, 303):
+                        method, data = "GET", None
+                    continue
+            if e.code == 304:
+                return None, 304, etag, cur, hops
+            return None, int(e.code), None, cur, hops
+        except Exception:
+            return None, CONNECTION_ERROR_CODE, None, cur, hops
 
 
 def fetch_http(
@@ -78,6 +137,8 @@ def fetch_http(
             StructField("_p_html", BinaryType()),
             StructField("_p_status", IntegerType()),
             StructField("_p_etag", StringType()),
+            StructField("orig_url", StringType()),
+            StructField("_redirects", IntegerType()),
         ]
     )
 
@@ -91,6 +152,8 @@ def fetch_http(
                     pdf["_p_html"] = pd.Series([], dtype=object)
                     pdf["_p_status"] = pd.Series([], dtype="int32")
                     pdf["_p_etag"] = pd.Series([], dtype=object)
+                    pdf["orig_url"] = pd.Series([], dtype=object)
+                    pdf["_redirects"] = pd.Series([], dtype="int32")
                     yield pdf
                     continue
                 etags = (
@@ -98,10 +161,15 @@ def fetch_http(
                     if "last_etag" in pdf.columns
                     else pd.Series([None] * len(pdf))
                 )
+                fopts = (
+                    pdf["fetch"]
+                    if "fetch" in pdf.columns
+                    else pd.Series([None] * len(pdf))
+                )
                 results = list(
                     pool.map(
-                        lambda t: fetch_one(t[0], t[1], timeout),
-                        zip(pdf["url"], etags),
+                        lambda t: fetch_one(t[0], t[1], timeout, t[2]),
+                        zip(pdf["url"], etags, fopts),
                     )
                 )
                 pdf["_p_html"] = [r[0] for r in results]
@@ -109,6 +177,13 @@ def fetch_http(
                     [r[1] for r in results], dtype="int32"
                 )
                 pdf["_p_etag"] = [r[2] for r in results]
+                # redirect chain: identity stays on orig_url, the row's
+                # url becomes the final hop (reference response.url)
+                pdf["orig_url"] = list(pdf["url"])
+                pdf["url"] = [r[3] for r in results]
+                pdf["_redirects"] = pd.array(
+                    [r[4] for r in results], dtype="int32"
+                )
                 yield pdf
 
     return tasks.mapInPandas(run, schema=out_schema)

@@ -73,7 +73,7 @@ FRONTIER_COLS = [
     "priority", "retries", "retried", "exetime", "age", "itag",
     "force_update", "auto_recrawl", "cancel", "callback",
     "lastcrawltime", "updatetime", "seq", "lease_expires",
-    "save", "last_etag",
+    "save", "fetch", "last_etag",
 ]
 
 FRONTIER_SCHEMA = (
@@ -82,7 +82,8 @@ FRONTIER_SCHEMA = (
     " retried int, exetime double, age long, itag string,"
     " force_update boolean, auto_recrawl boolean, cancel boolean,"
     " callback string, lastcrawltime double, updatetime double,"
-    " seq long, lease_expires double, save string, last_etag string"
+    " seq long, lease_expires double, save string, fetch string,"
+    " last_etag string"
 )
 
 
@@ -108,6 +109,11 @@ def normalize_incoming(incoming: DataFrame, now: float) -> DataFrame:
         "cancel": F.lit(False),
         "callback": F.lit("index_page"),
         "save": F.lit(None).cast("string"),
+        # per-task fetch options JSON (method/headers/cookies/data —
+        # the reference task dict's `fetch` compartment,
+        # database/base/taskdb.py task schema); consumed by the
+        # fetch_mode='http' stage, ignored by the pages join
+        "fetch": F.lit(None).cast("string"),
     }
     out = incoming
     for name, default in defaults.items():
@@ -386,7 +392,10 @@ def select_batch(
     # budgets/counts have one row per host with ready tasks — much
     # smaller than the frontier; AQE broadcasts them when they fit,
     # shuffle-joins otherwise (10^8-host scale), so no explicit hint.
-    ranked_src = ready.join(budgets.select("host", "budget"), "host", "left").withColumn(
+    # Merge the two dim frames FIRST (dim×dim) so the big ready frame
+    # is joined exactly once, not once per dim.
+    host_dim = budgets.select("host", "budget").join(counts, "host")
+    ranked_src = ready.join(host_dim, "host", "left").withColumn(
         "_budget", F.coalesce(F.col("budget"), F.lit(0))
     )
 
@@ -397,7 +406,6 @@ def select_batch(
     # hosts have a handful of ready tasks against a full token bucket,
     # so the ranking machinery below only ever touches the contended
     # hosts — and a wide-open budget (bench mode) costs zero windows.
-    ranked_src = ranked_src.join(counts, "host", "left")
     nonbinding = ranked_src.filter(F.col("ready_cnt") <= F.col("_budget"))
     binding = ranked_src.filter(F.col("ready_cnt") > F.col("_budget"))
 

@@ -844,6 +844,7 @@ def q_merge_frontier(spark, sf_dir):
         F.col("event_id").alias("seq"),
         F.lit(None).cast("double").alias("lease_expires"),
         F.lit(None).cast("string").alias("save"),
+        F.lit(None).cast("string").alias("fetch"),
         F.lit(None).cast("string").alias("last_etag"),
     )
     incoming = FR.normalize_incoming(
@@ -924,6 +925,25 @@ def q_cron_due(spark, sf_dir):
         "event_id", "interval", "tick", "last_fired",
         cron_due(F.col("tick"), F.col("last_fired"), F.col("interval")).alias("due"),
     )
+
+
+def q_counter_tiers(spark, sf_dir):
+    """A6 extension — tiered counter view through the REAL operator
+    (streaming/counters.py counter_tiers; libs/counter.py:104-258
+    5m/1h/1d/all retention windows, avg = sum/elapsed).  `now` is
+    pinned just past the fixture's ts range; timestamps floor to whole
+    epoch seconds so both engines compare integers."""
+    from crawler_pyspider_spark.streaming.counters import counter_tiers
+
+    now = 1706659200.0  # 2024-01-31T00:00:00Z
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        # parquet NTZ -> tz-aware (session tz UTC preserves wall values)
+        # -> epoch seconds, floored so both engines compare integers
+        F.floor(F.col("ts").cast("timestamp").cast("double")).cast("double").alias("tsec"),
+        "value",
+    )
+    return counter_tiers(e, now, ts_col="tsec")
 
 
 def q_common_fields(spark, sf_dir):
@@ -1044,6 +1064,35 @@ def q_robots_precedence(spark, sf_dir):
         .alias("rules"),
     )
     return robots_gate(tasks, rules).select("doc_id", "url", "robots_allowed")
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """S6 — redirect-chain resolution through the REAL operator
+    (operators/redirects.py resolve_redirects; tornado_fetcher.py:
+    371-427 manual follow with hop budget, orig_url vs final url kept):
+    url n redirects to n+1 when n%10<3, so chains run up to 3 hops and
+    the closed form is final = n + max(0, 3-(n%10))."""
+    from crawler_pyspider_spark.operators.redirects import resolve_redirects
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 1000).alias("n")
+    )
+    batch = e.select(
+        "event_id",
+        F.concat(F.lit("http://r.test/p/"), F.col("n").cast("string")).alias("url"),
+    )
+    ids = spark.range(1000).filter(F.col("id") % 10 < 3)
+    edges = ids.select(
+        F.concat(F.lit("http://r.test/p/"), F.col("id").cast("string")).alias("src_url"),
+        F.concat(F.lit("http://r.test/p/"), (F.col("id") + 1).cast("string")).alias("location"),
+    )
+    out = resolve_redirects(batch, edges, max_hops=5)
+    return out.select(
+        "event_id",
+        "orig_url",
+        F.col("url").alias("final_url"),
+        F.col("_redirects").alias("n_redirects"),
+    )
 
 
 def q_link_extract(spark, sf_dir):
@@ -1244,10 +1293,12 @@ QUERIES = {
     "merge_frontier": q_merge_frontier,
     "status_gate": q_status_gate,
     "cron_due": q_cron_due,
+    "counter_tiers": q_counter_tiers,
     "common_fields": q_common_fields,
     "url_canon": q_url_canon,
     "robots_filter": q_robots_filter,
     "robots_precedence": q_robots_precedence,
+    "redirect_resolve": q_redirect_resolve,
     "link_extract": q_link_extract,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1765,6 +1816,38 @@ ORACLE_SQL = {
                (tick - last_fired) >= interval AS due
         FROM e
     """,
+    "counter_tiers": """
+        WITH e AS (
+            SELECT event_type, floor(epoch(ts)) AS tsec, value FROM events
+        ), g AS (
+            SELECT event_type,
+                   coalesce(sum(CASE WHEN tsec >= 1706659200 - 300
+                                     THEN value END), 0) AS s_5m,
+                   count(CASE WHEN tsec >= 1706659200 - 300 THEN 1 END) AS n_5m,
+                   coalesce(sum(CASE WHEN tsec >= 1706659200 - 3600
+                                     THEN value END), 0) AS s_1h,
+                   count(CASE WHEN tsec >= 1706659200 - 3600 THEN 1 END) AS n_1h,
+                   coalesce(sum(CASE WHEN tsec >= 1706659200 - 86400
+                                     THEN value END), 0) AS s_1d,
+                   count(CASE WHEN tsec >= 1706659200 - 86400 THEN 1 END) AS n_1d,
+                   sum(value) AS s_all,
+                   count(*) AS n_all,
+                   min(tsec) AS min_ts
+            FROM e GROUP BY 1
+        )
+        SELECT event_type, '5m' AS tier, n_5m AS n_events,
+               round(s_5m, 2) AS sum_value,
+               round(s_5m / 300.0, 6) AS avg_per_sec FROM g
+        UNION ALL
+        SELECT event_type, '1h', n_1h, round(s_1h, 2),
+               round(s_1h / 3600.0, 6) FROM g
+        UNION ALL
+        SELECT event_type, '1d', n_1d, round(s_1d, 2),
+               round(s_1d / 86400.0, 6) FROM g
+        UNION ALL
+        SELECT event_type, 'all', n_all, round(s_all, 2),
+               round(s_all / greatest(1706659200 - min_ts, 1.0), 6) FROM g
+    """,
     "common_fields": """
         WITH e AS (
             SELECT event_id, event_type,
@@ -1834,6 +1917,23 @@ ORACLE_SQL = {
                     WHEN 5 THEN doc_id % 2 = 1
                     ELSE true END AS robots_allowed
         FROM d
+    """,
+    "redirect_resolve": """
+        WITH e AS (
+            SELECT event_id, event_id % 1000 AS n FROM events
+        ), r AS (
+            SELECT event_id, n,
+                   CASE WHEN n % 10 = 0 THEN 3
+                        WHEN n % 10 = 1 THEN 2
+                        WHEN n % 10 = 2 THEN 1
+                        ELSE 0 END AS hops
+            FROM e
+        )
+        SELECT event_id,
+               'http://r.test/p/' || CAST(n AS VARCHAR) AS orig_url,
+               'http://r.test/p/' || CAST(n + hops AS VARCHAR) AS final_url,
+               hops AS n_redirects
+        FROM r
     """,
     "link_extract": """
         WITH d AS (

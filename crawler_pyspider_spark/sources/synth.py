@@ -80,6 +80,7 @@ def gen_pages(
     body_kb: int = 0,
     status_every: int | None = None,
     etag_salt: str = "",
+    redirect_every: int | None = None,
 ) -> DataFrame:
     """The pages table ``(url, warc_ts, html, text, lang)`` per
     BASELINE.json input_hint, plus fetch-protocol columns
@@ -97,7 +98,15 @@ def gen_pages(
 
     ``etag_salt`` feeds the etag hash — regenerate with a different salt
     to model every page's content changing (the etags rotate, so
-    conditional refetches stop 304ing)."""
+    conditional refetches stop 304ing).
+
+    ``redirect_every``: when set, pages with ``md5int(url||'#rd') %
+    redirect_every == 0`` answer **301** with ``location`` = the
+    canonical url of page ``(i+1) % n_pages`` (SQL-re-derivable;
+    consecutive redirect ids form multi-hop chains, exercising the hop
+    budget).  The ``location`` column is always present (NULL when not
+    redirecting) so the engine's redirect path keys off the column, not
+    the parameter."""
     df = spark.range(n_pages).withColumnRenamed("id", "i")
     i = F.col("i")
     df = df.withColumn("host_id", host_id(i, n_hosts))
@@ -182,14 +191,23 @@ def gen_pages(
         )
     else:
         status = F.lit(200)
+    if redirect_every:
+        is_rd = md5int(F.concat(F.col("url"), F.lit("#rd"))) % redirect_every == 0
+        status = F.when(is_rd, 301).otherwise(status)
+        location = F.when(is_rd, url_of((i + 1) % n_pages, n_hosts))
+    else:
+        location = F.lit(None).cast("string")
     df = df.withColumn("status_code", status.cast("int"))
+    df = df.withColumn("location", location)
     df = df.withColumn(
         "etag",
         F.substring(
             F.md5(F.concat(F.lit("etag:" + etag_salt + ":"), F.col("url"))), 1, 16
         ),
     )
-    return df.select("url", "warc_ts", "html", "text", "lang", "status_code", "etag")
+    return df.select(
+        "url", "warc_ts", "html", "text", "lang", "status_code", "location", "etag"
+    )
 
 
 @F.pandas_udf(StringType())

@@ -85,6 +85,69 @@ def stream_windowed_counters(
     return spark.table(query_name)
 
 
+# reference libs/counter.py:104-258 — every counter reports these
+# retention windows; '_all_' uses elapsed-since-first-event as the
+# averaging base (TimebaseAverageWindowCounter semantics)
+COUNTER_TIERS = {"5m": 300, "1h": 3600, "1d": 86400, "all": None}
+
+
+def counter_tiers(
+    events: DataFrame,
+    now: float,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiers: dict | None = None,
+) -> DataFrame:
+    """Tiered counter view (A6 extension; libs/counter.py:104-258
+    CounterManager.__getitem__ exposes 5m/1h/1d/all per counter, each
+    with ``sum`` and ``avg`` = sum/elapsed).
+
+    ONE aggregation pass computes per-tier conditional sums/counts
+    (``ts >= now - secs``), then a single explode unpivots to
+    ``(key, tier, n_events, sum_value, avg_per_sec)`` — no re-scan per
+    tier, no join.  ``ts_col`` is epoch seconds (double).
+    """
+    tiers = tiers or COUNTER_TIERS
+    aggs = []
+    for name, secs in tiers.items():
+        cond = (
+            F.lit(True)
+            if secs is None
+            else (F.col(ts_col) >= F.lit(float(now - secs)))
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col(value_col))), F.lit(0.0)).alias(
+                f"_s_{name}"
+            )
+        )
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"_n_{name}"))
+    aggs.append(F.min(ts_col).alias("_min_ts"))
+    g = events.groupBy(key_col).agg(*aggs)
+    rows = []
+    for name, secs in tiers.items():
+        elapsed = (
+            F.lit(float(secs))
+            if secs is not None
+            else F.greatest(F.lit(float(now)) - F.col("_min_ts"), F.lit(1.0))
+        )
+        rows.append(
+            F.struct(
+                F.lit(name).alias("tier"),
+                F.col(f"_n_{name}").alias("n_events"),
+                F.round(F.col(f"_s_{name}"), 2).alias("sum_value"),
+                F.round(F.col(f"_s_{name}") / elapsed, 6).alias("avg_per_sec"),
+            )
+        )
+    return g.select(key_col, F.explode(F.array(*rows)).alias("_t")).select(
+        key_col,
+        F.col("_t.tier").alias("tier"),
+        F.col("_t.n_events").alias("n_events"),
+        F.col("_t.sum_value").alias("sum_value"),
+        F.col("_t.avg_per_sec").alias("avg_per_sec"),
+    )
+
+
 _RUN_OUT = StructType(
     [
         StructField("event_type", StringType()),

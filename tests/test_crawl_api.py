@@ -73,9 +73,18 @@ def test_crawl_builder_row():
         .set_callback("detail")
     )
     assert b.to_row() == (
-        "http://h.test/p?q=1", "bench", 5, None, "detail", '{"k": "v"}', "T1"
+        "http://h.test/p?q=1", "bench", 5, None, "detail", '{"k": "v"}', "T1",
+        None,
     )
     assert b.get_kwargs()["age"] == 1  # reference default
+    # fetch-protocol kwargs travel as the task's `fetch` JSON compartment
+    b2 = CrawlBuilder("http://h.test/p").update_kwargs(
+        {"method": "POST", "data": "a=1", "headers": {"X-K": "1"}}
+    )
+    import json
+
+    fetch = json.loads(b2.to_row()[7])
+    assert fetch == {"method": "POST", "data": "a=1", "headers": {"X-K": "1"}}
 
 
 def test_handler_page_enqueue_end_to_end(spark, small_world, tmp_path):

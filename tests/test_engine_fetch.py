@@ -325,3 +325,83 @@ def test_not_send_status_drops_ephemeral_task(spark, tmp_path):
     assert eng.results_df() is not None and eng.results_df().count() == 1
     assert eng.frontier.filter(F.col("callback") == "_on_message").count() == 0
     pages.unpersist()
+
+
+def test_http_fetch_options_plumbed_end_to_end(spark, tmp_path):
+    """Missing #5 closure: the task's `fetch` JSON compartment
+    (method/headers/cookies/data/user_agent — tornado_fetcher.py:232-301)
+    reaches the wire in fetch_mode='http'.  A POST with custom headers +
+    cookie + body hits a local stub that echoes what it saw."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen = {}
+
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+        def _reply(self):
+            body = b"<html><head><title>ok</title></head><body></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            seen[self.path] = {
+                "method": "GET",
+                "headers": dict(self.headers),
+                "body": None,
+            }
+            self._reply()
+
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            seen[self.path] = {
+                "method": "POST",
+                "headers": dict(self.headers),
+                "body": self.rfile.read(n).decode(),
+            }
+            self._reply()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        from crawler_pyspider_spark.functions.crawl_api import (
+            CrawlBuilder,
+            builders_to_df,
+        )
+
+        builders = [
+            CrawlBuilder(f"{base}/post").update_kwargs(
+                {
+                    "method": "POST",
+                    "data": "a=1&b=2",
+                    "headers": {"X-Custom": "yes"},
+                    "cookies": {"sid": "s1"},
+                }
+            ),
+            CrawlBuilder(f"{base}/plain"),
+        ]
+        pages = spark.createDataFrame([], "url string, html binary")
+        eng = mk_engine(
+            spark, pages, str(tmp_path / "wh"), RESULT_ONLY, fetch_mode="http"
+        )
+        eng.seed(builders_to_df(spark, builders))
+        m = eng.run_epoch()
+        assert m["fetched_ok"] == 2
+        assert seen["/post"]["method"] == "POST"
+        assert seen["/post"]["body"] == "a=1&b=2"
+        assert seen["/post"]["headers"].get("X-Custom") == "yes"
+        assert seen["/post"]["headers"].get("Cookie") == "sid=s1"
+        assert seen["/plain"]["method"] == "GET"
+        assert "X-Custom" not in seen["/plain"]["headers"]
+        # the fetch compartment persisted on the frontier row (taskdb
+        # task['fetch'] parity) — a recrawl would re-use it
+        row = eng.frontier.filter(F.col("url") == f"{base}/post").first()
+        assert json.loads(row.fetch)["method"] == "POST"
+    finally:
+        srv.shutdown()

@@ -22,7 +22,8 @@ def mk_frontier(spark, rows):
         status=FR.ACTIVE, priority=0, retries=3, retried=0, exetime=0.0,
         age=-1, itag=None, force_update=False, auto_recrawl=False,
         cancel=False, callback="index_page", lastcrawltime=None,
-        updatetime=NOW, seq=0, lease_expires=None, save=None, last_etag=None,
+        updatetime=NOW, seq=0, lease_expires=None, save=None, fetch=None,
+        last_etag=None,
     )
     full = []
     for i, r in enumerate(rows):

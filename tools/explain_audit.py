@@ -32,6 +32,10 @@ AUDIT = [
     ("merge_frontier", ["HashAggregate"]),   # upsert = max_by agg, no window
     ("status_gate", ["Project"]),            # pure codegen projection
     ("dedup_embedding_lsh", ["HashAggregate"]),  # band join, no cross join
+    # round 3: precedence robots, redirect chains, tiered counters
+    ("robots_precedence", ["BroadcastHashJoin"]),  # rules dim broadcast
+    ("redirect_resolve", ["Join"]),          # shrinking split-joins, no loop UDF
+    ("counter_tiers", ["HashAggregate"]),    # one agg pass + explode unpivot
 ]
 
 
