@@ -76,15 +76,17 @@ def crawl_bench(
     wh = tempfile.mkdtemp(
         prefix="bench_wh_", dir=os.environ.get("SPARK_GRAFT_WH_DIR")
     )
+    # Fetch-join strategy (A/B-able): 'shuffle' pairs with the
+    # url-partitioned pages cache above — only the small batch side
+    # shuffles, NOTHING is built serially on the driver (the forced
+    # full-batch broadcast was measured to flatline fetch-stage scaling
+    # at local[32]: a 500k-row driver-built relation per epoch).
+    # 'broadcast' keeps the old single-JVM behavior for comparison.
+    fetch_join = os.environ.get("SPARK_GRAFT_FETCH_JOIN", "shuffle")
     eng = CrawlEngine(
         spark, pages, robots, politeness, wh,
         handler=BENCH_HANDLER, loop_limit=10_000_000,
-        # single-JVM local mode: one broadcast copy, so forcing the
-        # full-batch broadcast beats the skinny-probe join-back here
-        # (measured 50.7k vs 43.6k urls/s at a 200k-page world); on a
-        # real cluster the row-bounded default switches huge batches to
-        # the probe path (no driver-built 100MB+ broadcast)
-        fetch_broadcast_rows=1 << 31,
+        fetch_join=fetch_join,
     )
     eng.seed(synth.gen_seeds(spark, pages, max(n_pages // 2, 100)))
     t0 = time.monotonic()

@@ -263,6 +263,7 @@ class CrawlEngine:
         fail_pause_num: int | None = None,
         pause_epochs: int = 3,
         fetch_broadcast_rows: int = 300_000,
+        fetch_join: str = "auto",
         rank_small_threshold: int = 1_000_000,
         taskid_fn=None,
         projects: dict | None = None,
@@ -337,6 +338,19 @@ class CrawlEngine:
         # keeps exactly one broadcast copy, so "never shuffle the html"
         # stays the right trade there at any batch size.
         self.fetch_broadcast_rows = fetch_broadcast_rows
+        # fetch-join strategy for pages mode:
+        #   auto      — row-bounded: broadcast small batches, skinny
+        #               probe above fetch_broadcast_rows (default)
+        #   broadcast — always build-side-broadcast the full batch
+        #   probe     — always the distinct-url probe + page-side parse
+        #   shuffle   — NO driver-built relation at all: plain equi-join;
+        #               when the pages frame is cached pre-partitioned by
+        #               url (bench does this) only the small batch side
+        #               shuffles — the co-located-join shape a cluster
+        #               gets from Iceberg bucket-by-url
+        if fetch_join not in ("auto", "broadcast", "probe", "shuffle"):
+            raise ValueError(f"fetch_join={fetch_join!r}")
+        self.fetch_join = fetch_join
         # parent-rank path cutover: the rank input is ONLY the 8-byte
         # seq column (~24 B/row as an UnsafeRow), so the single-reducer
         # rank (one exchange, no persist, no extra count job) wins up
@@ -913,10 +927,18 @@ class CrawlEngine:
                 #    page-side (html never leaves its partition), and
                 #    join the SMALL parse output (title+links) back to
                 #    the task batch — a small×small shuffle join.
-                use_probe = (
-                    n_selected > self.fetch_broadcast_rows
-                    and not any(cb.parse for _, _, cb in self._cb_items())
+                has_custom_parse = any(
+                    cb.parse for _, _, cb in self._cb_items()
                 )
+                if self.fetch_join == "probe" and not has_custom_parse:
+                    use_probe = True
+                elif self.fetch_join in ("broadcast", "shuffle"):
+                    use_probe = False
+                else:  # auto: row-bounded cutover
+                    use_probe = (
+                        n_selected > self.fetch_broadcast_rows
+                        and not has_custom_parse
+                    )
                 if use_probe:
                     pre_parsed = True
                     probe = F.broadcast(http_rows.select("url").distinct())
@@ -939,11 +961,16 @@ class CrawlEngine:
                     # the batch is under the cap — above it, leave the
                     # join unhinted and let AQE pick the strategy rather
                     # than force an unbounded driver-built broadcast
-                    batch = (
-                        F.broadcast(http_rows)
-                        if n_selected <= self.fetch_broadcast_rows
-                        else http_rows
-                    )
+                    if self.fetch_join == "shuffle":
+                        batch = http_rows  # co-partitioned equi-join
+                    elif self.fetch_join == "broadcast":
+                        batch = F.broadcast(http_rows)
+                    else:
+                        batch = (
+                            F.broadcast(http_rows)
+                            if n_selected <= self.fetch_broadcast_rows
+                            else http_rows
+                        )
                     hit_join = page_side.join(
                         batch,
                         http_rows["url"] == page_side["_p_url"],
