@@ -83,10 +83,21 @@ def crawl_bench(
     # at local[32]: a 500k-row driver-built relation per epoch).
     # 'broadcast' keeps the old single-JVM behavior for comparison.
     fetch_join = os.environ.get("SPARK_GRAFT_FETCH_JOIN", "shuffle")
+    # Seen-set tier under test: 'exact' (merge-join only, default),
+    # 'cuckoo' (north-star primary) or 'bloom' (fallback).  Filter
+    # capacity is sized from the world: ~2 slots per page at 4-slot
+    # buckets keeps the load factor < 0.5 (no eviction-chain tail).
+    seen_filter = os.environ.get("SPARK_GRAFT_SEEN_FILTER", "exact")
+    seen_kw = {}
+    if seen_filter != "exact":
+        buckets = 1 << max(int(n_pages * 2 / (64 * 4)) - 1, 255).bit_length()
+        seen_kw = dict(
+            seen_shards_n=64, seen_buckets=buckets, seen_bits=buckets * 64
+        )
     eng = CrawlEngine(
         spark, pages, robots, politeness, wh,
         handler=BENCH_HANDLER, loop_limit=10_000_000,
-        fetch_join=fetch_join,
+        fetch_join=fetch_join, seen_filter=seen_filter, **seen_kw,
     )
     eng.seed(synth.gen_seeds(spark, pages, max(n_pages // 2, 100)))
     t0 = time.monotonic()

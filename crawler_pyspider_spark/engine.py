@@ -39,7 +39,7 @@ from crawler_pyspider_spark.checkpoint import SnapshotStore
 from crawler_pyspider_spark.functions.extract import parse_page_meta
 from crawler_pyspider_spark.functions.urls import with_url_identity
 from crawler_pyspider_spark.operators import frontier as FR
-from crawler_pyspider_spark.operators import seenset
+from crawler_pyspider_spark.operators import cuckoo, seenset
 from crawler_pyspider_spark.operators.robots import robots_gate
 
 BASE_EPOCH_TS = 1704067200.0  # 2024-01-01T00:00:00Z — fixture base time
@@ -260,11 +260,12 @@ class CrawlEngine:
         seen_shards_n: int = seenset.DEFAULT_SHARDS,
         seen_bits: int = seenset.DEFAULT_BITS,
         seen_k: int = seenset.DEFAULT_K,
+        seen_buckets: int = cuckoo.DEFAULT_BUCKETS,
         fail_pause_num: int | None = None,
         pause_epochs: int = 3,
         fetch_broadcast_rows: int = 300_000,
         fetch_join: str = "auto",
-        rank_small_threshold: int = 1_000_000,
+        rank_small_threshold: int = 100_000,
         taskid_fn=None,
         projects: dict | None = None,
         handlers: dict | None = None,
@@ -311,19 +312,28 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.salt_threshold = salt_threshold
         self.base_ts = base_ts
-        if seen_filter not in ("exact", "bloom"):
-            raise ValueError(f"seen_filter must be 'exact' or 'bloom', got {seen_filter!r}")
+        if seen_filter not in ("exact", "bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_filter must be 'exact', 'bloom' or 'cuckoo', got {seen_filter!r}"
+            )
         self.seen_filter = seen_filter
         self.seen_shards_n = seen_shards_n
         self.seen_bits = seen_bits
         self.seen_k = seen_k
-        # bloom tier (SURVEY §4): membership pre-filter in front of the
-        # frontier merge join; bloom-negative URLs append without a join
-        self.seen_shards: DataFrame | None = (
-            seenset.empty_shards(spark, seen_shards_n, seen_bits)
-            if seen_filter == "bloom"
-            else None
-        )
+        self.seen_buckets = seen_buckets
+        # approximate-membership tier (SURVEY §4; north-star: cuckoo
+        # primary, bloom fallback): pre-filter in front of the frontier
+        # merge join; filter-negative URLs append without a join.  Both
+        # tiers share the probe_combined/split contract and the same
+        # shard shuffle key, so the epoch loop below is tier-agnostic.
+        if seen_filter == "cuckoo":
+            self.seen_shards: DataFrame | None = cuckoo.empty_shards(
+                spark, seen_shards_n, seen_buckets
+            )
+        elif seen_filter == "bloom":
+            self.seen_shards = seenset.empty_shards(spark, seen_shards_n, seen_bits)
+        else:
+            self.seen_shards = None
 
         # pause state machine (A10; scheduler.py:52-103): per-project
         # consecutive-failure streak; ≥ fail_pause_num pauses selection
@@ -351,11 +361,14 @@ class CrawlEngine:
         if fetch_join not in ("auto", "broadcast", "probe", "shuffle"):
             raise ValueError(f"fetch_join={fetch_join!r}")
         self.fetch_join = fetch_join
-        # parent-rank path cutover: the rank input is ONLY the 8-byte
-        # seq column (~24 B/row as an UnsafeRow), so the single-reducer
-        # rank (one exchange, no persist, no extra count job) wins up
-        # to ~1M rows — ~25 MB in the one task; above the threshold the
-        # distributed range-partition rank runs
+        # parent-rank path cutover: below it a single-reducer rank (one
+        # exchange, no persist, no extra count job); above it the
+        # distributed range-partition rank.  Even though the rank input
+        # is only the 8-byte seq column, the serial sort idles every
+        # other core — an ABBA A/B at 300k pages / local[32] measured
+        # the distributed path 1.6× faster end-to-end at a 150k-row
+        # batch, so the cutover sits at 100k (≈ one shuffle partition's
+        # worth), not at the memory-comfort bound
         self.rank_small_threshold = rank_small_threshold
         # get_taskid override (base_handler.py:340-342): a callable
         # DataFrame -> Column producing the dedup key; default is
@@ -745,15 +758,25 @@ class CrawlEngine:
                 # decision) exactly.  No-op when no limit is set (bench).
                 if self.inqueue_limit:
                     inc = FR.apply_inqueue_limit(inc, self.frontier, self.inqueue_limit)
-                combined = seenset.probe_combined(
-                    inc,
-                    self.seen_shards,
-                    n_shards=self.seen_shards_n,
-                    bits=self.seen_bits,
-                    k=self.seen_k,
-                ).cache()
-                caches.append(combined)
-                flagged, self.seen_shards = seenset.split(combined)
+                if self.seen_filter == "cuckoo":
+                    combined = cuckoo.probe_combined(
+                        inc,
+                        self.seen_shards,
+                        n_shards=self.seen_shards_n,
+                        buckets=self.seen_buckets,
+                    ).cache()
+                    caches.append(combined)
+                    flagged, self.seen_shards = cuckoo.split(combined)
+                else:
+                    combined = seenset.probe_combined(
+                        inc,
+                        self.seen_shards,
+                        n_shards=self.seen_shards_n,
+                        bits=self.seen_bits,
+                        k=self.seen_k,
+                    ).cache()
+                    caches.append(combined)
+                    flagged, self.seen_shards = seenset.split(combined)
                 maybe = flagged.filter(F.col("seen")).drop("seen", "shard")
                 novel = flagged.filter(~F.col("seen")).drop("seen", "shard")
                 merged, deferred = FR.merge_incoming(

@@ -209,6 +209,35 @@ def q_seen_antijoin(spark, sf_dir):
     return e.join(seen, "event_id", "left_anti").select("event_id", "user_id", "event_type")
 
 
+def q_cuckoo_seen(spark, sf_dir):
+    """North-star primary seen tier — membership + DELETION through the
+    REAL partitioned cuckoo filter (operators/cuckoo.py; replaces the
+    reference's taskdb point lookup database/sqlite/taskdb.py:72-85):
+    value>150 events insert, the even half of those then DELETE (the op
+    bloom can't do — itag/force_update re-open), and every event probes.
+    seen must equal exact membership: no false negatives by
+    construction, and FP probability at this fill (~8·load/2^16 per
+    probe, load 0.007) is ~1e-5 across the whole batch."""
+    from crawler_pyspider_spark.operators import cuckoo
+
+    e = _t(spark, sf_dir, "events")
+    key = F.concat(F.lit("e:"), F.col("event_id").cast("string"))
+    ins = e.filter(F.col("value") > 150).select(key.alias("taskid"))
+    dels = e.filter((F.col("value") > 150) & (F.col("event_id") % 2 == 0)).select(
+        key.alias("taskid")
+    )
+    probe = e.select(key.alias("taskid"), "event_id")
+    ns, nb = 16, 1 << 10
+    shards = cuckoo.empty_shards(spark, ns, nb)
+    _, shards = cuckoo.probe_and_insert(ins, shards, n_shards=ns, buckets=nb)
+    shards = shards.cache()
+    shards.count()  # pin state-after-insert before the delete pass reads it
+    shards = cuckoo.delete_keys(dels, shards, n_shards=ns, buckets=nb).cache()
+    shards.count()
+    flagged, _ = cuckoo.probe_and_insert(probe, shards, n_shards=ns, buckets=nb)
+    return flagged.select("event_id", "seen")
+
+
 def q_new_vs_old(spark, sf_dir):
     """J1 — new-request vs stored-task left join (scheduler.py:822-833):
     arrivals outer-joined to prior state, null -> new."""
@@ -551,6 +580,58 @@ def q_ann_lsh_buckets(spark, sf_dir):
         ((d > 0).cast("int") * (2 ** j) for j, d in enumerate(dots)), F.lit(0)
     )
     return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def _qdot(a, b):
+    """Exact int64 dot product of two quantized vector columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (the index-structured scale path beside the LSH
+    one): a 16-cell coarse quantizer (deterministically seeded from
+    vec_id 1..16 so the oracle can mirror it; production swaps in
+    Spark-ML k-means centroids), every vector assigned to its argmax-dot
+    cell via a broadcast-centroid map-side scan (no shuffle — max_by
+    aggregation, not a rank window), then the query probes only its
+    nprobe=4 nearest cells: candidate search touches nprobe/K of the
+    data instead of all of it.  Integer-quantized (×1000) dots keep
+    every score and tie-break bit-identical across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+    cent = emb.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("cid"), quant.alias("cv")
+    )
+    vecs = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", quant.alias("ev")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(quant.alias("qv"))
+    # cell assignment: argmax dot, ties to the smaller cid
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("dc", _qdot(F.col("ev"), F.col("cv")))
+        .groupBy("vec_id", "label", "ev")
+        .agg(F.max_by("cid", F.struct(F.col("dc"), -F.col("cid"))).alias("cell"))
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .withColumn("dq", _qdot(F.col("cv"), F.col("qv")))
+        .orderBy(F.desc("dq"), F.asc("cid"))
+        .limit(4)
+        .select(F.col("cid").alias("pcid"))
+    )
+    cand = assigned.join(
+        F.broadcast(probe), assigned["cell"] == F.col("pcid")
+    ).crossJoin(F.broadcast(qv))
+    return (
+        cand.select("vec_id", "label", _qdot(F.col("ev"), F.col("qv")).alias("dot_q"))
+        .orderBy(F.desc("dot_q"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 def q_lang_id(spark, sf_dir):
@@ -1264,6 +1345,7 @@ QUERIES = {
     "select_quota": q_select_quota,
     "inqueue_overflow": q_inqueue_overflow,
     "seen_antijoin": q_seen_antijoin,
+    "cuckoo_seen": q_cuckoo_seen,
     "new_vs_old": q_new_vs_old,
     "config_merge": q_config_merge,
     "active_tasks_merge": q_active_tasks_merge,
@@ -1280,6 +1362,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -1392,6 +1475,11 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM events s WHERE s.value > 150 AND s.event_id = e.event_id
         )
+    """,
+    "cuckoo_seen": """
+        SELECT event_id,
+               (value > 150 AND event_id % 2 <> 0) AS seen
+        FROM events
     """,
     "new_vs_old": """
         WITH old AS (SELECT user_id, round(max(value), 2) AS old_max
@@ -1596,6 +1684,44 @@ ORACLE_SQL = {
         SELECT vec_id,
                CAST({" + ".join(f"(CASE WHEN {_srp_dot_sql(j)} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(8))} AS INT) AS bucket
         FROM qv
+    """,
+    "ann_ivf": """
+        WITH qv AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS q
+            FROM embeddings WHERE vec_id = 0
+        ), cent AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS cv
+            FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+        ), vecs AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS ev
+            FROM embeddings WHERE vec_id <> 0
+        ), scored AS (
+            SELECT v.vec_id, v.label, v.ev, c.cid,
+                   CAST(list_sum(list_transform(list_zip(v.ev, c.cv),
+                       p -> p[1] * p[2])) AS BIGINT) AS dc
+            FROM vecs v, cent c
+        ), assigned AS (
+            SELECT vec_id, label, ev, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dc DESC, cid ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT c.cid FROM cent c, qv
+            ORDER BY CAST(list_sum(list_transform(list_zip(c.cv, qv.q),
+                p -> p[1] * p[2])) AS BIGINT) DESC, c.cid ASC
+            LIMIT 4
+        )
+        SELECT a.vec_id, a.label,
+               CAST(list_sum(list_transform(list_zip(a.ev, qv.q),
+                   p -> p[1] * p[2])) AS BIGINT) AS dot_q
+        FROM assigned a JOIN probe p ON a.cell = p.cid, qv
+        ORDER BY dot_q DESC, a.vec_id ASC LIMIT 10
     """,
     "lang_id": """
         WITH t AS (

@@ -7,6 +7,17 @@ and reporting throughput at both plus the scaling efficiency
 
     efficiency = (throughput@4N / throughput@N) / 4 .
 
+Measurement protocol — PAIRED ALTERNATING runs.  This VM
+burst-throttles sustained all-core load with large, slowly-varying
+swings (identical back-to-back runs were measured 71 s vs 179 s), so
+independent best-of-N per level compares two different machine states
+and the ratio is garbage.  Instead each *pair* runs both levels
+back-to-back (one fresh process/JVM each, equal cooldown before each
+run) so the two legs see near-identical host state; the pair order
+alternates (4N→N, N→4N, 4N→N) so monotone throttle drift helps one leg
+in half the pairs and the other leg in the rest; the headline is the
+MEDIAN of the per-pair efficiencies.
+
 Writes ``BENCH/scaling.json`` and ``BENCH/BASELINE.md``.
 
 Usage: ``python tools/scaling_bench.py [sf_dir]`` (default sf0.1).
@@ -16,26 +27,22 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LEVELS = (8, 32)
+LO, HI = 8, 32
 EPOCHS = 3
-REPS = 3  # best-of-N per level damps noisy-neighbor CPU interference
-# The sandbox VM burst-throttles sustained all-core load: back-to-back
-# 32-thread runs decay monotonically (measured 125k -> 90k -> 71k
-# urls/s for the identical binary) while 8-thread runs hold steady —
-# so consecutive hot runs would understate the 4N level and corrupt the
-# ratio.  A cooldown before each rep lets the CPU budget recover, and
-# the 4N level runs FIRST (freshest credits); best-of-N then
-# approximates the unthrottled steady state at both levels.
+# pair orders: first-listed level runs first within the pair
+PAIR_ORDERS = ((HI, LO), (LO, HI), (HI, LO))
 COOLDOWN_SEC = 90
 
 
-def run_level_once(cpus: int, sf_dir: str) -> dict:
+def run_once(cpus: int, sf_dir: str) -> dict:
     """One parallelism level in a FRESH process/JVM (no heap/GC/cache
     state carried between levels)."""
     env = dict(
@@ -52,24 +59,9 @@ def run_level_once(cpus: int, sf_dir: str) -> dict:
         timeout=3600,
         check=True,
     )
-    # clear tmpfs shuffle/warehouse leftovers between levels
-    import shutil
-
     for d in ("/dev/shm/spark_graft_local", "/dev/shm/spark_graft_wh"):
         shutil.rmtree(d, ignore_errors=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
-
-
-def run_level(cpus: int, sf_dir: str) -> dict:
-    import time
-
-    runs = []
-    for _ in range(REPS):
-        time.sleep(COOLDOWN_SEC)
-        runs.append(run_level_once(cpus, sf_dir))
-    best = max(runs, key=lambda r: r["throughput_urls_per_sec"])
-    best["all_throughputs"] = [round(r["throughput_urls_per_sec"], 1) for r in runs]
-    return best
 
 
 def main() -> None:
@@ -80,15 +72,34 @@ def main() -> None:
     n_pages = max(int(sf * 10_000_000), 2000)  # same sizing as bench.py
     n_hosts = max(n_pages // 100, 16)
 
-    # hottest level first — see the burst-throttle note on COOLDOWN_SEC
-    results = {c: run_level(c, sf_dir) for c in sorted(LEVELS, reverse=True)}
-    thr = {c: results[c]["throughput_urls_per_sec"] for c in LEVELS}
-    eff = (thr[LEVELS[1]] / thr[LEVELS[0]]) / (LEVELS[1] / LEVELS[0]) if thr[LEVELS[0]] else 0.0
+    pairs = []
+    for order in PAIR_ORDERS:
+        pair: dict = {"order": list(order)}
+        for cpus in order:
+            time.sleep(COOLDOWN_SEC)
+            pair[str(cpus)] = run_once(cpus, sf_dir)
+        thr_lo = pair[str(LO)]["throughput_urls_per_sec"]
+        thr_hi = pair[str(HI)]["throughput_urls_per_sec"]
+        pair["efficiency"] = round((thr_hi / thr_lo) / (HI / LO), 3) if thr_lo else 0.0
+        pairs.append(pair)
+        print(
+            f"pair {order}: {thr_lo:.0f} @ {LO} / {thr_hi:.0f} @ {HI}"
+            f" -> eff {pair['efficiency']}",
+            file=sys.stderr,
+        )
+
+    effs = sorted(p["efficiency"] for p in pairs)
+    eff = effs[len(effs) // 2]  # median
+    best = {
+        c: max(pairs, key=lambda p: p[str(c)]["throughput_urls_per_sec"])[str(c)]
+        for c in (LO, HI)
+    }
+    thr = {c: best[c]["throughput_urls_per_sec"] for c in (LO, HI)}
 
     # Machine envelope (tools/cpu_ceiling.py, committed next to this
     # file's output): the VM's OWN aggregate-compute step from N to 4N
     # pure-CPU processes.  The dataflow cannot scale past the machine;
-    # eff_dataflow = (thr@4N/thr@N) / (cpu@4N/cpu@N) isolates the
+    # eff_dataflow = median_pair_eff / (cpu@4N/cpu@N / 4) isolates the
     # plan's parallelizability from host CPU throttling.
     ceiling = None
     eff_dataflow = None
@@ -96,32 +107,52 @@ def main() -> None:
     if os.path.exists(ceil_path):
         with open(ceil_path) as f:
             ceiling = json.load(f)
-        lo_k, hi_k = str(LEVELS[0]), str(LEVELS[1])
+        lo_k, hi_k = str(LO), str(HI)
         if lo_k in ceiling and hi_k in ceiling:
             cpu_ratio = (
                 ceiling[hi_k]["best_ops_per_sec"] / ceiling[lo_k]["best_ops_per_sec"]
             )
-            if cpu_ratio > 0 and thr[LEVELS[0]]:
-                eff_dataflow = round(
-                    (thr[LEVELS[1]] / thr[LEVELS[0]]) / cpu_ratio, 3
-                )
+            if cpu_ratio > 0:
+                eff_dataflow = round(eff / (cpu_ratio / (HI / LO)), 3)
 
     out = {
         "sf_dir": sf_dir,
         "n_pages": n_pages,
         "n_hosts": n_hosts,
         "epochs": EPOCHS,
+        "protocol": "paired-alternating, median of per-pair efficiencies",
+        "pairs": [
+            {
+                "order": p["order"],
+                "efficiency": p["efficiency"],
+                str(LO): {
+                    "throughput_urls_per_sec": round(
+                        p[str(LO)]["throughput_urls_per_sec"], 1
+                    ),
+                    "elapsed_sec": round(p[str(LO)]["elapsed_sec"], 2),
+                    "epoch_secs": p[str(LO)].get("epoch_secs"),
+                },
+                str(HI): {
+                    "throughput_urls_per_sec": round(
+                        p[str(HI)]["throughput_urls_per_sec"], 1
+                    ),
+                    "elapsed_sec": round(p[str(HI)]["elapsed_sec"], 2),
+                    "epoch_secs": p[str(HI)].get("epoch_secs"),
+                },
+            }
+            for p in pairs
+        ],
         "levels": {
             str(c): {
                 "throughput_urls_per_sec": round(thr[c], 1),
-                "elapsed_sec": round(results[c]["elapsed_sec"], 2),
-                "urls_scheduled_deduped": results[c]["urls_scheduled_deduped"],
-                "epoch_secs": results[c].get("epoch_secs"),
-                "all_throughputs": results[c].get("all_throughputs"),
-                "epoch_metrics": results[c].get("epoch_metrics"),
+                "elapsed_sec": round(best[c]["elapsed_sec"], 2),
+                "urls_scheduled_deduped": best[c]["urls_scheduled_deduped"],
+                "epoch_secs": best[c].get("epoch_secs"),
+                "epoch_metrics": best[c].get("epoch_metrics"),
             }
-            for c in LEVELS
+            for c in (LO, HI)
         },
+        "pair_efficiencies": effs,
         "scaling_efficiency": round(eff, 3),
         "cpu_ceiling": ceiling,
         "scaling_efficiency_vs_cpu_ceiling": eff_dataflow,
@@ -130,48 +161,62 @@ def main() -> None:
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         json.dump(out, f, indent=2)
 
-    lo, hi = LEVELS
+    pair_rows = "\n".join(
+        f"| {i + 1} | {p['order'][0]}→{p['order'][1]} "
+        f"| {p[str(LO)]['throughput_urls_per_sec']:.0f} "
+        f"| {p[str(HI)]['throughput_urls_per_sec']:.0f} "
+        f"| {p['efficiency']} |"
+        for i, p in enumerate(pairs)
+    )
     md = f"""# BENCH/BASELINE.md — frontier throughput + scaling efficiency
 
 Metric (BASELINE.json): **frontier throughput (URLs scheduled+deduped/sec)**
 with **scaling efficiency ≥ 0.8 between N and 4N** parallelism.  The
 sandbox has no multi-node cluster, so N vs 4N executors is evidenced by
-`local[{lo}]` vs `local[{hi}]` on one machine (same job, same input, same
+`local[{LO}]` vs `local[{HI}]` on one machine (same job, same input, same
 seed list + politeness budget; deterministic synthetic Common-Crawl-style
 world, {n_pages} pages × ~20 KB / {n_hosts} Zipf-skewed hosts, {EPOCHS}
 epochs, wide-open politeness so throughput is engine-bound, untimed
-warmup run per level, each level in a fresh process/JVM).  Shuffle and
+warmup run per process, each run in a fresh process/JVM).  Shuffle and
 snapshot storage sit on tmpfs for this measurement: a single box has ONE
 ~500 MB/s disk shared by all cores — a serial resource that a real
 cluster scales linearly with node count — so leaving it on disk would
 measure the sandbox's disk, not the dataflow.
 
-| parallelism | URLs scheduled+deduped | elapsed (s) | throughput (urls/s) |
-|---|---|---|---|
-| local[{lo}] (N) | {out['levels'][str(lo)]['urls_scheduled_deduped']} | {out['levels'][str(lo)]['elapsed_sec']} | {out['levels'][str(lo)]['throughput_urls_per_sec']} |
-| local[{hi}] (4N) | {out['levels'][str(hi)]['urls_scheduled_deduped']} | {out['levels'][str(hi)]['elapsed_sec']} | {out['levels'][str(hi)]['throughput_urls_per_sec']} |
+## Protocol: paired alternating runs
 
-**Scaling efficiency (throughput@4N / throughput@N) / 4 = {out['scaling_efficiency']}**
+This VM burst-throttles sustained all-core load with large slow swings
+(identical back-to-back runs measured 71 s vs 179 s), so per-level
+best-of-N compares two different machine states.  Each *pair* runs both
+levels back-to-back (equal cooldown first), so both legs see
+near-identical host state; pair order alternates so throttle drift
+helps each level in half the pairs; the headline is the **median of the
+per-pair efficiencies**.
+
+| pair | order | urls/s @ local[{LO}] | urls/s @ local[{HI}] | efficiency |
+|---|---|---|---|---|
+{pair_rows}
+
+**Scaling efficiency (median of pairs) = {out['scaling_efficiency']}**
+
+Best observed throughput: **{thr[LO]:.0f} urls/s @ local[{LO}]**,
+**{thr[HI]:.0f} urls/s @ local[{HI}]** (details in `scaling.json`).
 """
     if eff_dataflow is not None:
-        lo_k, hi_k = str(LEVELS[0]), str(LEVELS[1])
+        lo_k, hi_k = str(LO), str(HI)
         md += f"""
 **Ceiling-normalized efficiency = {eff_dataflow}** — the machine's own
-pure-CPU envelope (`BENCH/cpu_ceiling.json`, {REPS}×best-of identical
+pure-CPU envelope (`BENCH/cpu_ceiling.json`, best-of identical
 busy-loop processes, no Spark) delivers only
 {round(ceiling[hi_k]['best_ops_per_sec'] / ceiling[lo_k]['best_ops_per_sec'], 2)}×
 aggregate compute from {lo_k} to {hi_k} processes (ideal
-{LEVELS[1] // LEVELS[0]}×): this sandbox VM burst-throttles sustained
+{HI // LO}×): this sandbox VM burst-throttles sustained
 all-core load, so no dataflow can show a 4× step here.
-`eff_dataflow = (thr@4N/thr@N) / (cpu@4N/cpu@N)` divides out that host
-ceiling and is the number comparable to the rule's multi-executor
+`eff_dataflow = median_pair_eff / (cpu@4N/cpu@N / 4)` divides out that
+host ceiling and is the number comparable to the rule's multi-executor
 intent (each cluster node brings its OWN cpu budget).
 """
     md += f"""
-
-Each level reports the best of {REPS} full runs (`all_throughputs` in
-`scaling.json`) — this VM shows bursty noisy-neighbor CPU interference,
-so single-run ratios are unreliable; best-of-N is the standard defense.
 
 Caveats: single-JVM local mode shares one driver and one shuffle
 service, so this measures the dataflow's parallelizability (no
@@ -186,7 +231,7 @@ single-process Python loop whose scheduler is bounded by
 LOOP_LIMIT=1000 tasks per 0.1 s loop (≤ ~10k selects/s upper bound,
 `pyspider/scheduler/scheduler.py:150-151`) and in-practice throughput is
 reported in pages/min over live HTTP; this engine's per-URL scheduling
-cost at local[{hi}] is measured above on the same semantic work
+cost at local[{HI}] is measured above on the same semantic work
 (canonicalize → dedup → politeness-ranked select → robots gate → fetch
 join → extract → status fold → snapshot commit).
 
