@@ -29,13 +29,20 @@ AUDIT = [
     ("seen_antijoin", ["Join LeftAnti", "BroadcastHashJoin"]),
     ("token_count", ["Project"]),
     # round 2: operator-routed + scale-path queries
-    ("merge_frontier", ["HashAggregate"]),   # upsert = max_by agg, no window
+    # upsert = max_by agg, no window.  max_by's struct buffer is an
+    # immutable type, so Spark compiles it to SortAggregate (still
+    # two-phase partial+final, map-side combine before the exchange) —
+    # match the family name, not the Hash variant.
+    ("merge_frontier", ["Aggregate"]),
     ("status_gate", ["Project"]),            # pure codegen projection
     ("dedup_embedding_lsh", ["HashAggregate"]),  # band join, no cross join
     # round 3: precedence robots, redirect chains, tiered counters
     ("robots_precedence", ["BroadcastHashJoin"]),  # rules dim broadcast
     ("redirect_resolve", ["Join"]),          # shrinking split-joins, no loop UDF
     ("counter_tiers", ["HashAggregate"]),    # one agg pass + explode unpivot
+    # round 3: cuckoo seen tier + IVF ANN
+    ("cuckoo_seen", ["FlatMapCoGroupsInPandas"]),  # one cogroup probe pass
+    ("ann_ivf", ["BroadcastNestedLoopJoin", "Aggregate"]),  # bcast centroids + max_by cell (SortAggregate: struct buffer)
 ]
 
 
