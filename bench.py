@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "quality_score",
     "ann_cosine_topk",
     "crawl_reachability",
+    "pagerank",
+    "repetition_ratio",
 ]
 
 

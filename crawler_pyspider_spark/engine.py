@@ -796,9 +796,11 @@ class CrawlEngine:
             # on it — one materialization instead of three
             self.frontier = self.frontier.cache()
             caches.append(self.frontier)
+            _t = _time.monotonic()
             m["ingested"] = (
                 self._pending_rows if self._pending_rows is not None else inc.count()
             )
+            m["t_ingest"] = round(_time.monotonic() - _t, 2)
         else:
             m["ingested"] = 0
 
@@ -1323,6 +1325,7 @@ class CrawlEngine:
 
         # reload committed state: truncates lineage AND makes the next
         # epoch start from exactly what a resume would see
+        _t = _time.monotonic()
         self.frontier = self.store.read("frontier", self.epoch)
         self.token_state = self.store.read("token_state", self.epoch)
         if "seen_shards" in manifest["tables"]:
@@ -1340,6 +1343,7 @@ class CrawlEngine:
 
         for c in caches:
             c.unpersist()
+        m["t_reload"] = round(_time.monotonic() - _t, 2)
         self.metrics.append(m)
         return m
 

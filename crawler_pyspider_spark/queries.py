@@ -1331,6 +1331,204 @@ def q_media_features(spark, sf_dir):
 
 
 # ===========================================================================
+# training-data pipeline round 3: link-graph ranking, dedup clustering,
+# PII scrubbing, deterministic stratified sampling, repetition quality
+# ===========================================================================
+
+PR_SCALE = 1_000_000  # integer PageRank: rank in parts-per-million
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the deterministic md5-derived link graph (the same
+    synth world as q_crawl_reachability; a crawl-frontier priority
+    signal the reference's schedule-score only approximates).  All
+    arithmetic is INTEGER (rank in ppm, truncating division) so the
+    3-iteration result is bit-identical across engines — float PageRank
+    would hash-diverge on summation order.  Spark = iterative
+    join+groupBy (each round is one shuffle on dst; at 10^10 edges the
+    same loop shards by hash(dst) across executors); oracle = unrolled
+    CTE rounds."""
+    from crawler_pyspider_spark.sources.synth import url_of
+
+    ids = spark.range(REACH_N).select(F.col("id").alias("src"))
+    urls = ids.withColumn("url", url_of(F.col("src"), REACH_H))
+    ks = F.sequence(F.lit(0), F.lit(REACH_SHOW - 1))
+    edges = urls.select(
+        "src",
+        F.explode(
+            F.transform(
+                ks,
+                lambda k: md5int(F.concat(F.col("url"), F.lit("#"), k.cast("string")))
+                % F.lit(REACH_N),
+            )
+        ).alias("dst"),
+    ).distinct().cache()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+    ranks = ids.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("r DIV deg").alias("c"))
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            ids.select(F.col("src").alias("node"))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(15 * PR_SCALE // 100)
+                    + F.expr("(coalesce(inflow, 0) * 85) DIV 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("node").cast("long").alias("node"), F.col("r").alias("rank_ppm"))
+
+
+def q_dedup_minhash_cc(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH
+    candidate pairs (q_dedup_minhash_pairs) via bounded min-label
+    propagation — the step that turns pairwise candidates into the
+    canonical-representative assignment a dedup pipeline actually
+    ships.  4 synchronized rounds (components at this scale have tiny
+    diameter; both engines run the SAME round count, so the comparison
+    is exact regardless of convergence).  Each round is one
+    join+groupBy-min — at 10^10 docs this is the standard large-star
+    label propagation shape, no driver-side union-find."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(4):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE = r"\d{3}-\d{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact over documents: deterministic synthetic PII
+    (email/IPv4/phone derived from doc_id) is appended to each text,
+    then counted and replaced with typed placeholders — all JVM-side
+    regexp (no UDF; the patterns are RE2-safe so Java and DuckDB agree).
+    The real-pipeline shape: scrub BEFORE dedup/tokenize so hashes
+    never see raw PII."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), n, F.lit("@example.com or u"), n,
+        F.lit("@mail.test ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4), F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE), F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(txt, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(txt, F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixing:
+    per-source sampling rate (basis points, itself md5-derived so no
+    config table is needed) applied via an md5-hash threshold on
+    (source, doc_id) — reproducible across engines, runs, and cluster
+    sizes, unlike rand()-based sample().  The filter is a pure codegen
+    projection+predicate: at 100 TB it runs scan-local with zero
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    rate_bps = (md5int(F.concat(F.lit("rate:"), F.col("source"))) % 3000 + 500).alias("rate_bps")
+    bucket = (
+        md5int(F.concat(F.lit("s:"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string")))
+        % 10000
+    ).alias("bucket")
+    return (
+        d.select("doc_id", "source", rate_bps, bucket)
+        .filter(F.col("bucket") < F.col("rate_bps"))
+    )
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-word ratio
+    (1 - distinct/total) and top-bigram mass (most frequent bigram's
+    share of all bigrams).  Word stats are per-row array ops (no
+    shuffle); the bigram mode is one explode+two-level agg — the only
+    shuffle, keyed by doc_id, embarrassingly shardable."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    nw = F.size(F.col("w"))
+    stats = d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(F.lit(1) - F.size(F.array_distinct(F.col("w"))) / nw, 4).alias("dup_word_ratio"),
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                nw >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), nw - 1),
+                    lambda i: F.concat(
+                        F.get(F.col("w"), i - 1), F.lit(" "), F.get(F.col("w"), i)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+    top = counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams")
+    )
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_ratio",
+        F.coalesce(F.col("top_cnt"), F.lit(0)).cast("long").alias("top_cnt"),
+        F.round(
+            F.coalesce(F.col("top_cnt") / F.col("n_bigrams"), F.lit(0.0)), 4
+        ).alias("top_bigram_ratio"),
+    )
+
+
+# ===========================================================================
 # registry + oracle SQL
 # ===========================================================================
 
@@ -1387,6 +1585,11 @@ QUERIES = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "binary_meta": q_binary_meta,
     "media_features": q_media_features,
+    "pagerank": q_pagerank,
+    "dedup_minhash_cc": q_dedup_minhash_cc,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "repetition_ratio": q_repetition_ratio,
 }
 
 
@@ -2152,5 +2355,161 @@ ORACLE_SQL = {
                CAST(CAST(('0x' || substr(md5(hx || '|2'), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 1000 AS f2,
                CAST(CAST(('0x' || substr(md5(hx || '|3'), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 1000 AS f3
         FROM d
+    """,
+    "pagerank": f"""
+        WITH ids AS (
+            SELECT unnest(range({REACH_N})) AS src
+        ), urls AS (
+            SELECT src,
+                   'http://host' || CAST(
+                       {REACH_H} // ((CAST(('0x' || substr(md5('h' || CAST(src AS VARCHAR)), 1, 15)) AS BIGINT) % {REACH_H}) + 1)
+                   AS VARCHAR) || '.test/p/' || CAST(src AS VARCHAR) AS url
+            FROM ids
+        ), edges AS (
+            SELECT DISTINCT src,
+                   CAST(('0x' || substr(md5(url || '#' || CAST(k.k AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {REACH_N} AS dst
+            FROM urls, (SELECT unnest(range({REACH_SHOW})) AS k) k
+        ), deg AS (
+            SELECT src, count(*) AS deg FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM ids
+        ), i1 AS (
+            SELECT e.dst AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+            FROM edges e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst
+        ), r1 AS (
+            SELECT ids.src AS node,
+                   CAST({15 * PR_SCALE // 100} + (coalesce(i1.inflow, 0) * 85) // 100 AS BIGINT) AS r
+            FROM ids LEFT JOIN i1 ON i1.node = ids.src
+        ), i2 AS (
+            SELECT e.dst AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+            FROM edges e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst
+        ), r2 AS (
+            SELECT ids.src AS node,
+                   CAST({15 * PR_SCALE // 100} + (coalesce(i2.inflow, 0) * 85) // 100 AS BIGINT) AS r
+            FROM ids LEFT JOIN i2 ON i2.node = ids.src
+        ), i3 AS (
+            SELECT e.dst AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+            FROM edges e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst
+        ), r3 AS (
+            SELECT ids.src AS node,
+                   CAST({15 * PR_SCALE // 100} + (coalesce(i3.inflow, 0) * 85) // 100 AS BIGINT) AS r
+            FROM ids LEFT JOIN i3 ON i3.node = ids.src
+        )
+        SELECT CAST(node AS BIGINT) AS node, r AS rank_ppm FROM r3
+    """,
+    "dedup_minhash_cc": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   min(md5('0' || '|' || s)) AS mh0, min(md5('1' || '|' || s)) AS mh1,
+                   min(md5('2' || '|' || s)) AS mh2, min(md5('3' || '|' || s)) AS mh3,
+                   min(md5('4' || '|' || s)) AS mh4, min(md5('5' || '|' || s)) AS mh5,
+                   min(md5('6' || '|' || s)) AS mh6, min(md5('7' || '|' || s)) AS mh7
+            FROM ex GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, md5(mh0 || mh1 || mh2 || mh3) AS band FROM sig
+            UNION ALL
+            SELECT doc_id, md5(mh4 || mh5 || mh6 || mh7) AS band FROM sig
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+            FROM bands a JOIN bands b USING (band)
+            WHERE a.doc_id < b.doc_id
+        ), edges AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION ALL
+            SELECT pb AS src, pa AS dst FROM pairs
+        ), l0 AS (
+            SELECT doc_id, doc_id AS label FROM documents
+        ), n1 AS (
+            SELECT e.src AS doc_id, min(l.label) AS m
+            FROM edges e JOIN l0 l ON l.doc_id = e.dst GROUP BY e.src
+        ), l1 AS (
+            SELECT l0.doc_id, least(l0.label, coalesce(n1.m, l0.label)) AS label
+            FROM l0 LEFT JOIN n1 USING (doc_id)
+        ), n2 AS (
+            SELECT e.src AS doc_id, min(l.label) AS m
+            FROM edges e JOIN l1 l ON l.doc_id = e.dst GROUP BY e.src
+        ), l2 AS (
+            SELECT l1.doc_id, least(l1.label, coalesce(n2.m, l1.label)) AS label
+            FROM l1 LEFT JOIN n2 USING (doc_id)
+        ), n3 AS (
+            SELECT e.src AS doc_id, min(l.label) AS m
+            FROM edges e JOIN l2 l ON l.doc_id = e.dst GROUP BY e.src
+        ), l3 AS (
+            SELECT l2.doc_id, least(l2.label, coalesce(n3.m, l2.label)) AS label
+            FROM l2 LEFT JOIN n3 USING (doc_id)
+        ), n4 AS (
+            SELECT e.src AS doc_id, min(l.label) AS m
+            FROM edges e JOIN l3 l ON l.doc_id = e.dst GROUP BY e.src
+        ), l4 AS (
+            SELECT l3.doc_id, least(l3.label, coalesce(n4.m, l3.label)) AS label
+            FROM l3 LEFT JOIN n4 USING (doc_id)
+        )
+        SELECT doc_id, label AS cluster, (doc_id = label) AS is_canonical FROM l4
+    """,
+    "pii_scrub": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or u'
+                        || CAST(doc_id AS VARCHAR) || '@mail.test ip 10.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call 555-01'
+                        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS txt
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '{PII_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(txt, '{PII_IPV4}')) AS INT) AS n_ips,
+               CAST(len(regexp_extract_all(txt, '{PII_PHONE}')) AS INT) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   txt, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_IPV4}', '<IP>', 'g'),
+                        '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5,
+               CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                   txt, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_IPV4}', '<IP>', 'g'),
+                        '{PII_PHONE}', '<PHONE>', 'g')) AS INT) AS redacted_len
+        FROM t
+    """,
+    "stratified_sample": """
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substr(md5('rate:' || source), 1, 15)) AS BIGINT) % 3000 + 500 AS rate_bps,
+                   CAST(('0x' || substr(md5('s:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source, rate_bps, bucket FROM d WHERE bucket < rate_bps
+    """,
+    "repetition_ratio": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), stats AS (
+            SELECT doc_id, CAST(len(t) AS INT) AS n_words,
+                   round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS dup_word_ratio
+            FROM w
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM w
+        ), cnt AS (
+            SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg
+        ), top AS (
+            SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_bigrams
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_words, s.dup_word_ratio,
+               CAST(coalesce(t.top_cnt, 0) AS BIGINT) AS top_cnt,
+               round(coalesce(CAST(t.top_cnt AS DOUBLE) / t.n_bigrams, 0.0), 4) AS top_bigram_ratio
+        FROM stats s LEFT JOIN top t USING (doc_id)
     """,
 }

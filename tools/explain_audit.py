@@ -43,6 +43,10 @@ AUDIT = [
     # round 3: cuckoo seen tier + IVF ANN
     ("cuckoo_seen", ["FlatMapCoGroupsInPandas"]),  # one cogroup probe pass
     ("ann_ivf", ["BroadcastNestedLoopJoin", "Aggregate"]),  # bcast centroids + max_by cell (SortAggregate: struct buffer)
+    # round 3: training-data ops
+    ("pagerank", ["HashAggregate"]),         # per-round inflow = long-sum agg, shuffles on dst only
+    ("dedup_minhash_cc", ["HashAggregate"]), # label propagation = join + min agg, no driver union-find
+    ("stratified_sample", ["Project"]),      # scan-local hash-threshold filter, zero shuffle
 ]
 
 
