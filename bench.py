@@ -124,11 +124,20 @@ def crawl_only_main() -> None:
     """Subprocess mode for tools/scaling_bench.py: one crawl_bench run
     in a fresh JVM, one JSON line out.  Shuffle + snapshot warehouse go
     to tmpfs so single-box disk bandwidth (a fixed serial resource that
-    a real cluster scales with node count) doesn't cap the measurement."""
+    a real cluster scales with node count) doesn't cap the measurement.
+
+    The run also reports ``sum_task_cpu_sec`` — total executor task run
+    time from the Spark event log.  That number measures how much host
+    compute the leg ACTUALLY received (this VM's quota/DRAM weather
+    swings 2-3x on minute scales), so the scaling harness can separate
+    plan occupancy from per-task host slowdown per pair."""
+    import tempfile as _tempfile
+
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_graft_local")
     os.environ.setdefault("SPARK_GRAFT_WH_DIR", "/dev/shm/spark_graft_wh")
     os.makedirs(os.environ["SPARK_GRAFT_WH_DIR"], exist_ok=True)
+    evdir = _tempfile.mkdtemp(prefix="bench_events_")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -153,21 +162,58 @@ def crawl_only_main() -> None:
             # fetch join = shuffled-HASH join against the partitioned
             # pages cache; sort-merge would sort the 20 KB html side
             "spark.sql.join.preferSortMergeJoin": "false",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     # untimed warmup at a real batch shape: JIT/codegen for every stage
     # (ingest, select, parse, commit) compiles before the timed window
     crawl_bench(spark, n_pages=20_000, n_hosts=200, epochs=2, body_kb=body_kb)
+    t_main_ms = time.time() * 1000  # event-log filter: main run only
     res = crawl_bench(spark, n_pages, n_hosts, body_kb=body_kb)
     res["body_kb"] = body_kb
+    app_id = spark.sparkContext.applicationId
     res["cpus"], res["n_pages"], res["n_hosts"] = cpus, n_pages, n_hosts
     res["epoch_metrics"] = [
         {k: v for k, v in m.items() if k.startswith("t_") or k in
          ("epoch", "ingested", "selected", "fetched_ok", "n_pending")}
         for m in res.get("epoch_metrics", [])
     ]
-    print(json.dumps(res))
     spark.stop()
+    try:
+        res["sum_task_cpu_sec"], res["sum_task_gc_sec"] = _task_cpu_from_events(
+            evdir, app_id, t_main_ms
+        )
+    except Exception as e:  # evidence-only metric; never fail the bench
+        res["sum_task_cpu_sec"] = None
+        res["task_cpu_err"] = f"{type(e).__name__}: {e}"
+    import shutil as _shutil
+
+    _shutil.rmtree(evdir, ignore_errors=True)
+    print(json.dumps(res))
+
+
+def _task_cpu_from_events(evdir: str, app_id: str, since_ms: float):
+    """Total executor task run / GC seconds for tasks finishing after
+    ``since_ms``, from the (uncompressed, non-rolling) event log."""
+    run_ms = gc_ms = 0
+    for fn in os.listdir(evdir):
+        if app_id not in fn:
+            continue
+        with open(os.path.join(evdir, fn)) as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                ti = ev.get("Task Info") or {}
+                if ti.get("Finish Time", 0) < since_ms:
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                run_ms += tm.get("Executor Run Time", 0)
+                gc_ms += tm.get("JVM GC Time", 0)
+    return round(run_ms / 1e3, 1), round(gc_ms / 1e3, 1)
 
 
 def main() -> None:
