@@ -10,6 +10,13 @@ from crawler_pyspider_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
+    # One JVM serves the whole suite (100+ tests): broadcast relations,
+    # cached plans and codegen classes accumulate heap across tests, and
+    # the default 8g driver was measured to die mid-suite with "Not
+    # enough memory to build and broadcast" — taking every later test
+    # down with ConnectionRefused.  The box has 128 GiB; give the test
+    # driver headroom.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     s = get_spark(app_name="tests", cores=4, shuffle_partitions=4)
     yield s
     s.stop()
