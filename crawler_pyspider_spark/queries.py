@@ -1528,6 +1528,81 @@ def q_repetition_ratio(spark, sf_dir):
     )
 
 
+def q_url_spam_score(spark, sf_dir):
+    """URL spam heuristics for frontier prioritization (a crawl-quality
+    signal the reference leaves to user handlers): path depth, query
+    param count, digit ratio and length fold into one integer
+    milli-score — pure codegen projection, exact across engines, zero
+    shuffle at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    n = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("http://host"), k, F.lit(".test/"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("a/b/c/d/p"), n, F.lit("?q="), n, F.lit("&ref="), k, F.lit("&s=1")))
+        .when(F.col("doc_id") % 3 == 0, F.concat(F.lit("p/"), n, F.lit("0123456789")))
+        .otherwise(F.concat(F.lit("p/"), n)),
+    )
+    # replace-based character counting (no regex 'g'-flag divergence)
+    # and integer DIV for the milli ratio: Spark's double->long cast
+    # truncates while DuckDB's rounds, so the ratio must never leave
+    # integer arithmetic
+    path = F.regexp_replace(url, F.lit("^https?://[^/]+"), F.lit(""))
+    depth = F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))
+    n_amp = F.length(url) - F.length(F.replace(url, F.lit("&"), F.lit("")))
+    n_params = F.when(url.contains("?"), n_amp + 1).otherwise(F.lit(0))
+    n_digits = F.length(url) - F.length(
+        F.regexp_replace(url, F.lit("[0-9]"), F.lit(""))
+    )
+    base = d.select(
+        "doc_id",
+        url.alias("url"),
+        depth.cast("int").alias("path_depth"),
+        n_params.cast("int").alias("n_params"),
+        n_digits.cast("int").alias("n_digits"),
+        F.length(url).cast("int").alias("url_len"),
+    )
+    return base.select(
+        "doc_id",
+        "url",
+        "path_depth",
+        "n_params",
+        "n_digits",
+        F.expr(
+            "CAST(CAST(n_digits AS BIGINT) * 1000 DIV url_len AS BIGINT)"
+        ).alias("digit_milli"),
+        F.expr(
+            "CAST(path_depth AS BIGINT) * 100 + CAST(n_params AS BIGINT) * 150"
+            " + CAST(CAST(n_digits AS BIGINT) * 1000 DIV url_len AS BIGINT)"
+            " + CAST(CASE WHEN url_len > 60 THEN 200 ELSE 0 END AS BIGINT)"
+        ).alias("spam_score_milli"),
+    )
+
+
+def q_domain_coverage(spark, sf_dir):
+    """Per-source domain coverage / concentration for training-data
+    mixing: distinct hosts, docs, and the largest single host's share
+    (integer milli) — the signal a mixing policy uses to downweight
+    single-domain-dominated sources.  Two narrow aggs keyed by
+    (source, host) then source: shards cleanly at 100 TB."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(F.lit("host"), (F.col("doc_id") % 37).cast("string")).alias("host"),
+    )
+    per_host = d.groupBy("source", "host").agg(F.count("*").alias("n"))
+    agg = per_host.groupBy("source").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.max("n").cast("long").alias("top_host_docs"),
+    )
+    # integer DIV, not double-divide-then-cast: Spark truncates the
+    # cast, DuckDB rounds it — DIV // stays exact on both
+    return agg.select(
+        "source", "n_hosts", "n_docs", "top_host_docs",
+        F.expr("top_host_docs * 1000 DIV n_docs").alias("top_share_milli"),
+    )
+
+
 # ===========================================================================
 # registry + oracle SQL
 # ===========================================================================
@@ -1590,6 +1665,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "repetition_ratio": q_repetition_ratio,
+    "url_spam_score": q_url_spam_score,
+    "domain_coverage": q_domain_coverage,
 }
 
 
@@ -2511,5 +2588,51 @@ ORACLE_SQL = {
                CAST(coalesce(t.top_cnt, 0) AS BIGINT) AS top_cnt,
                round(coalesce(CAST(t.top_cnt AS DOUBLE) / t.n_bigrams, 0.0), 4) AS top_bigram_ratio
         FROM stats s LEFT JOIN top t USING (doc_id)
+    """,
+    "url_spam_score": """
+        WITH b AS (
+            SELECT doc_id,
+                   'http://host' || CAST(doc_id % 7 AS VARCHAR) || '.test/' ||
+                   CASE WHEN doc_id % 5 = 0 THEN 'a/b/c/d/p' || CAST(doc_id AS VARCHAR)
+                            || '?q=' || CAST(doc_id AS VARCHAR) || '&ref='
+                            || CAST(doc_id % 7 AS VARCHAR) || '&s=1'
+                        WHEN doc_id % 3 = 0 THEN 'p/' || CAST(doc_id AS VARCHAR) || '0123456789'
+                        ELSE 'p/' || CAST(doc_id AS VARCHAR) END AS url
+            FROM documents
+        ), c AS (
+            SELECT doc_id, url,
+                   regexp_replace(url, '^https?://[^/]+', '') AS path
+            FROM b
+        ), f AS (
+            SELECT doc_id, url,
+                   CAST(length(path) - length(replace(path, '/', '')) AS INT) AS path_depth,
+                   CAST(CASE WHEN contains(url, '?')
+                        THEN length(url) - length(replace(url, '&', '')) + 1
+                        ELSE 0 END AS INT) AS n_params,
+                   CAST(length(url) - length(regexp_replace(url, '[0-9]', '', 'g')) AS INT) AS n_digits,
+                   length(url) AS url_len
+            FROM c
+        )
+        SELECT doc_id, url, path_depth, n_params, n_digits,
+               CAST(CAST(n_digits AS BIGINT) * 1000 // url_len AS BIGINT) AS digit_milli,
+               CAST(path_depth AS BIGINT) * 100 + CAST(n_params AS BIGINT) * 150
+                 + CAST(CAST(n_digits AS BIGINT) * 1000 // url_len AS BIGINT)
+                 + CAST(CASE WHEN url_len > 60 THEN 200 ELSE 0 END AS BIGINT) AS spam_score_milli
+        FROM f
+    """,
+    "domain_coverage": """
+        WITH d AS (
+            SELECT source, 'host' || CAST(doc_id % 37 AS VARCHAR) AS host FROM documents
+        ), ph AS (
+            SELECT source, host, count(*) AS n FROM d GROUP BY source, host
+        ), a AS (
+            SELECT source, count(DISTINCT host) AS n_hosts,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(max(n) AS BIGINT) AS top_host_docs
+            FROM ph GROUP BY source
+        )
+        SELECT source, n_hosts, n_docs, top_host_docs,
+               top_host_docs * 1000 // n_docs AS top_share_milli
+        FROM a
     """,
 }

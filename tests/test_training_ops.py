@@ -12,10 +12,12 @@ from crawler_pyspider_spark.queries import (
     REACH_N,
     q_dedup_minhash_cc,
     q_dedup_minhash_pairs,
+    q_domain_coverage,
     q_pagerank,
     q_pii_scrub,
     q_repetition_ratio,
     q_stratified_sample,
+    q_url_spam_score,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -92,6 +94,31 @@ def test_stratified_sample_bounds(spark):
     # deterministic: second run identical
     again = {(r["doc_id"], r["bucket"]) for r in q_stratified_sample(spark, SF).collect()}
     assert again == {(r["doc_id"], r["bucket"]) for r in rows}
+
+
+def test_url_spam_score_features(spark):
+    rows = {r["doc_id"]: r for r in q_url_spam_score(spark, SF).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        if doc_id % 5 == 0:  # deep path + 3 query params
+            assert r["path_depth"] == 5 and r["n_params"] == 3
+        elif doc_id % 3 == 0:  # digit-stuffed path, no query
+            assert r["n_params"] == 0 and r["n_digits"] >= 11
+        assert r["spam_score_milli"] >= r["digit_milli"]
+    # spammy urls must outrank clean ones
+    spam = [r["spam_score_milli"] for d, r in rows.items() if d % 5 == 0]
+    clean = [r["spam_score_milli"] for d, r in rows.items() if d % 5 and d % 3]
+    assert min(spam) > max(clean)
+
+
+def test_domain_coverage_shares(spark):
+    rows = q_domain_coverage(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_hosts"] <= 37
+        assert r["top_host_docs"] <= r["n_docs"]
+        # top share is a valid milli fraction, and at least 1/n_hosts
+        assert 1000 // r["n_hosts"] <= r["top_share_milli"] <= 1000
 
 
 def test_repetition_ratio_ranges(spark):
