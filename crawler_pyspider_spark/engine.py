@@ -705,7 +705,17 @@ class CrawlEngine:
 
         # ---- ingest (§3.1 step 2) ----
         if self.pending is not None:
-            inc = with_url_identity(self.pending, "url", self.n_host_buckets)
+            pend = self.pending
+            if self.taskid_fn is None and "custom_taskid" not in pend.columns:
+                # collapse identical raw urls BEFORE the canonicalize
+                # pandas UDF (exact — see dedup_raw): a link graph's
+                # 10-30× fan-in otherwise pays the Python hop and the
+                # decision join once per DUPLICATE, making drained-epoch
+                # ingest cost scale with raw link volume instead of
+                # distinct-url volume.  Skipped under custom task
+                # identity, where equal urls may not share a taskid.
+                pend = FR.dedup_raw(pend)
+            inc = with_url_identity(pend, "url", self.n_host_buckets)
             inc = inc.drop("url").withColumnRenamed("url_canon", "url")
             if self.taskid_fn is not None:
                 inc = inc.withColumn("taskid", self.taskid_fn(inc))
@@ -797,8 +807,15 @@ class CrawlEngine:
             self.frontier = self.frontier.cache()
             caches.append(self.frontier)
             _t = _time.monotonic()
+            # materialize the cached batch HERE so t_ingest is honest —
+            # leaving it lazy silently re-bills the canonicalize UDF +
+            # dedup to whatever action fires first (it showed up as
+            # "t_select" in the round-3 scaling profile).  ``ingested``
+            # stays the RAW pending size (the work the engine was asked
+            # to schedule), not the post-dedup distinct count.
+            n_inc = inc.count()
             m["ingested"] = (
-                self._pending_rows if self._pending_rows is not None else inc.count()
+                self._pending_rows if self._pending_rows is not None else n_inc
             )
             m["t_ingest"] = round(_time.monotonic() - _t, 2)
         else:
@@ -836,8 +853,16 @@ class CrawlEngine:
         # driver-known hints that let select_batch skip its per-epoch
         # qsizes job: project count from the dim (frontier projects are
         # verify-gated to it), ready-row upper bound = last committed
-        # frontier + this epoch's ingest
-        nproj_hint = len(self._projects) if self._projects is not None else 1
+        # frontier + this epoch's ingest.  A multi-handler engine WITHOUT
+        # a projects dim has task_verify off — the frontier can hold any
+        # per-row project value — so no driver-side count is safe there:
+        # pass None and let select_batch compute the exact qsizes.
+        if self._projects is not None:
+            nproj_hint = len(self._projects)
+        elif self._multi:
+            nproj_hint = None
+        else:
+            nproj_hint = 1
         total_hint = (
             self._frontier_rows + m["ingested"]
             if self._frontier_rows is not None
@@ -926,6 +951,7 @@ class CrawlEngine:
                     ),
                     pool_size=self.fetch_pool_size,
                     timeout=self.fetch_timeout,
+                    max_redirects=self.max_redirects,
                 )
             else:
                 # pages tables without status_code/etag (the input_hint

@@ -59,8 +59,14 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
 _OPENER = urllib.request.build_opener(_NoRedirect)
 
 
-def fetch_one(url: str, etag: str | None, timeout: float, fetch_json: str | None = None):
-    """One conditional request following ≤ MAX_REDIRECTS manually ->
+def fetch_one(
+    url: str,
+    etag: str | None,
+    timeout: float,
+    fetch_json: str | None = None,
+    max_redirects: int = MAX_REDIRECTS,
+):
+    """One conditional request following ≤ ``max_redirects`` manually ->
     (body|None, status_code, etag|None, final_url, n_redirects).
 
     ``fetch_json`` is the task's fetch-options compartment (the
@@ -103,7 +109,7 @@ def fetch_one(url: str, etag: str | None, timeout: float, fetch_json: str | None
             with _OPENER.open(req, timeout=per_timeout) as resp:
                 return resp.read(), int(resp.status), resp.headers.get("ETag"), cur, hops
         except urllib.error.HTTPError as e:
-            if e.code in REDIRECT_CODES and hops < MAX_REDIRECTS:
+            if e.code in REDIRECT_CODES and hops < max_redirects:
                 loc = e.headers.get("Location")
                 if loc:
                     from urllib.parse import urljoin
@@ -121,7 +127,10 @@ def fetch_one(url: str, etag: str | None, timeout: float, fetch_json: str | None
 
 
 def fetch_http(
-    tasks: DataFrame, pool_size: int = 100, timeout: float = 20.0
+    tasks: DataFrame,
+    pool_size: int = 100,
+    timeout: float = 20.0,
+    max_redirects: int = MAX_REDIRECTS,
 ) -> DataFrame:
     """Fetch every task row over HTTP; appends _p_html/_p_status/_p_etag.
 
@@ -168,7 +177,7 @@ def fetch_http(
                 )
                 results = list(
                     pool.map(
-                        lambda t: fetch_one(t[0], t[1], timeout, t[2]),
+                        lambda t: fetch_one(t[0], t[1], timeout, t[2], max_redirects),
                         zip(pdf["url"], etags, fopts),
                     )
                 )

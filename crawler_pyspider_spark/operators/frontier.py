@@ -151,6 +151,36 @@ def dedup_batch(incoming: DataFrame) -> DataFrame:
     ).select(*incoming.columns)
 
 
+def dedup_raw(incoming: DataFrame) -> DataFrame:
+    """Pre-canonicalization dedup by (project, RAW url).
+
+    Identical raw urls canonicalize identically, hence share a taskid,
+    so keeping only the row ``dedup_batch`` would keep among them —
+    min of (¬force_update, seq) — is exact: the later taskid-level
+    dedup takes the minimum of these per-url minima.  Runs BEFORE the
+    canonicalize pandas UDF so repeated links (nav bars, footers, the
+    10-30× fan-in of a link graph) never pay the Python hop — at web
+    scale this collapses the ingest batch by the graph's in-degree.
+
+    NOT exact when the caller overrides task identity (custom taskids
+    can split rows that share a url) — the engine skips it then."""
+    payload = [c for c in incoming.columns if c not in ("project", "url")]
+    fu = (
+        F.coalesce(F.col("force_update"), F.lit(False))
+        if "force_update" in incoming.columns
+        else F.lit(False)
+    )
+    order_key = F.struct(
+        (~fu).cast("int").alias("fu"), F.col("seq").alias("seq")
+    )
+    agg = incoming.groupBy("project", "url").agg(
+        F.min_by(F.struct(*payload), order_key).alias("_r")
+    )
+    return agg.select(
+        "project", "url", *[F.col(f"_r.{c}").alias(c) for c in payload]
+    ).select(*incoming.columns)
+
+
 def apply_inqueue_limit(
     incoming: DataFrame, frontier: DataFrame, inqueue_limit: int | None
 ) -> DataFrame:
@@ -191,6 +221,21 @@ def merge_incoming(
     now: float,
     inqueue_limit: int | None = None,
 ) -> DataFrame:
+    """The new/old decision table folded into the frontier — see
+    ``merge_changes`` for the decision semantics.  Returns
+    (frontier', deferred).  The engine's merge-on-read path calls
+    ``merge_changes`` directly and appends the changes to its delta
+    instead of re-aggregating the whole frontier."""
+    changes, deferred = merge_changes(frontier, incoming, now, inqueue_limit)
+    return upsert(frontier, changes), deferred
+
+
+def merge_changes(
+    frontier: DataFrame,
+    incoming: DataFrame,
+    now: float,
+    inqueue_limit: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """The new/old decision table (scheduler.py:822-897; J1 + restart
     rules), set-at-a-time.
 
@@ -202,8 +247,10 @@ def merge_incoming(
                      returning it in the deferred output)
     not restarted -> arrival ignored
 
-    Returns (frontier', deferred) — deferred are postponed force_update
-    arrivals to re-inject next epoch (U4).
+    Returns (changes, deferred): ``changes`` are the accepted rows in
+    frontier schema (upsert them, or append them to a merge-on-read
+    delta); ``deferred`` are postponed force_update arrivals to
+    re-inject next epoch (U4).
     """
     inc = dedup_batch(incoming)
     inc = apply_inqueue_limit(inc, frontier, inqueue_limit)
@@ -253,12 +300,12 @@ def merge_incoming(
         .withColumn("last_etag", F.col("_o_last_etag"))
         .select(*FRONTIER_COLS)
     )
-
-    merged = upsert(frontier, changes)
-    return merged, deferred
+    return changes, deferred
 
 
-def upsert(frontier: DataFrame, changes: DataFrame) -> DataFrame:
+def upsert(
+    frontier: DataFrame, changes: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
     """Latest-wins MERGE by (project, taskid) — the Iceberg ``MERGE INTO``
     equivalent (S3).  changes take precedence over existing rows.
 
@@ -269,8 +316,14 @@ def upsert(frontier: DataFrame, changes: DataFrame) -> DataFrame:
     changes are dedup'd), so max_by on the precedence tag is
     deterministic.  At 10^10 rows the frontier table is bucketed by
     taskid hash so this co-partitions (Iceberg bucket transform /
-    storage-partitioned join on a real cluster)."""
-    payload = [c for c in FRONTIER_COLS if c not in ("project", "taskid")]
+    storage-partitioned join on a real cluster); the engine's
+    merge-on-read path additionally keeps this agg's input down to
+    base-delta size, so the full frontier never re-shuffles per epoch.
+
+    ``cols`` overrides the column list (default FRONTIER_COLS) — the
+    engine's delta carries an extra ``_live`` tombstone flag."""
+    cols = cols or FRONTIER_COLS
+    payload = [c for c in cols if c not in ("project", "taskid")]
     tagged = frontier.withColumn("_prec", F.lit(0)).unionByName(
         changes.withColumn("_prec", F.lit(1))
     )
@@ -279,7 +332,7 @@ def upsert(frontier: DataFrame, changes: DataFrame) -> DataFrame:
     )
     return agg.select(
         "project", "taskid", *[F.col(f"_r.{c}").alias(c) for c in payload]
-    ).select(*FRONTIER_COLS)
+    ).select(*cols)
 
 
 # --------------------------------------------------------------------------
@@ -381,8 +434,10 @@ def select_batch(
     project, the fairness quota can never bind, and when it supplies an
     UPPER BOUND on the ready-row count that is ≤ ``loop_limit``, the
     global cap can never bind either — both checks then cost zero Spark
-    jobs.  A wrong upper bound only costs an unnecessary sort-limit
-    (correctness is unaffected); ``None`` falls back to computing the
+    jobs.  ``total_ready`` MUST be a true upper bound: an OVERestimate
+    only costs an unnecessary sort-limit (correctness unaffected), but
+    an UNDERestimate ≤ ``loop_limit`` would skip the global cap and let
+    the batch silently exceed it.  ``None`` falls back to computing the
     exact sizes.
     """
     ready = frontier.filter(ready_filter(now))
@@ -393,8 +448,11 @@ def select_batch(
     # smaller than the frontier; AQE broadcasts them when they fit,
     # shuffle-joins otherwise (10^8-host scale), so no explicit hint.
     # Merge the two dim frames FIRST (dim×dim) so the big ready frame
-    # is joined exactly once, not once per dim.
-    host_dim = budgets.select("host", "budget").join(counts, "host")
+    # is joined exactly once, not once per dim.  Left-join from counts
+    # with a coalesced default: ``budgets`` is derived from ``counts``
+    # so the host sets match today, but a budgets-side gap must read as
+    # budget 0 (row not selectable), never as a silently vanished host.
+    host_dim = counts.join(budgets.select("host", "budget"), "host", "left")
     ranked_src = ready.join(host_dim, "host", "left").withColumn(
         "_budget", F.coalesce(F.col("budget"), F.lit(0))
     )
@@ -407,7 +465,15 @@ def select_batch(
     # so the ranking machinery below only ever touches the contended
     # hosts — and a wide-open budget (bench mode) costs zero windows.
     nonbinding = ranked_src.filter(F.col("ready_cnt") <= F.col("_budget"))
-    binding = ranked_src.filter(F.col("ready_cnt") > F.col("_budget"))
+    # Budget-0 hosts can never contribute a row — drop them BEFORE the
+    # window, not after ranking.  In a politeness-bound steady state
+    # (tokens drained, refill < 1/epoch) most of the frontier's ready
+    # rows sit on budget-0 hosts; sorting them inside the rank window
+    # only to filter _rn <= 0 made select cost scale with PENDING volume
+    # instead of selectable volume.
+    binding = ranked_src.filter(
+        (F.col("ready_cnt") > F.col("_budget")) & (F.col("_budget") > 0)
+    )
 
     # phase 1 — salted pre-rank for heavy contended hosts only
     salted = binding.withColumn(
@@ -659,7 +725,13 @@ def recrawl_rearm(now: float):
 
 
 def apply_status(frontier: DataFrame, statuses: DataFrame, now: float) -> DataFrame:
-    """Fold fetch+process outcomes back into the frontier
+    """``status_changes`` folded into the frontier via ``upsert`` — kept
+    for the oracle battery and callers without a merge-on-read delta."""
+    return upsert(frontier, status_changes(frontier, statuses, now))
+
+
+def status_changes(frontier: DataFrame, statuses: DataFrame, now: float) -> DataFrame:
+    """Fetch+process outcomes as frontier-schema change rows
     (on_task_done scheduler.py:924-946 + on_task_failed :948-1001).
 
     statuses: (project, taskid, ok:boolean [, etag:string]) for every
@@ -715,7 +787,7 @@ def apply_status(frontier: DataFrame, statuses: DataFrame, now: float) -> DataFr
         )
         .select(*FRONTIER_COLS)
     )
-    return upsert(frontier, changed)
+    return changed
 
 
 def status_count(frontier: DataFrame) -> DataFrame:
