@@ -273,6 +273,8 @@ class CrawlEngine:
         fetch_pool_size: int = 100,
         fetch_timeout: float = 20.0,
         max_redirects: int = 5,
+        frontier_compact_min_rows: int = 50_000,
+        frontier_compact_ratio: float = 0.2,
     ):
         self.spark = spark
         self.pages = pages
@@ -420,6 +422,25 @@ class CrawlEngine:
         self._extra_caches: list[DataFrame] = []  # persisted frames from seed()
 
         self.epoch: int = -1
+        # Merge-on-read frontier (the Iceberg MoR pattern the north star
+        # calls for): a PERSISTED base — hash-partitioned by the merge
+        # key so per-epoch joins never re-shuffle it — plus a small
+        # cumulative latest-wins delta (FRONTIER_COLS + a ``_live``
+        # tombstone flag).  The public ``self.frontier`` is the resolved
+        # VIEW (base ⊖ delta-keys ∪ live-delta), identical row-for-row
+        # to the eager-upsert frontier of rounds 1-3, but each epoch now
+        # writes/shuffles O(delta) instead of O(frontier): at a 10^10-row
+        # frontier an epoch that touches 10^5 tasks costs 10^5, not
+        # 10^10.  The base is rewritten (compaction) only when the delta
+        # outgrows ``max(frontier_compact_min_rows,
+        # frontier_compact_ratio · base_rows)``.
+        self.frontier_compact_min_rows = frontier_compact_min_rows
+        self.frontier_compact_ratio = frontier_compact_ratio
+        self._fr_base: DataFrame = FR.empty_frontier(spark)
+        self._fr_base_epoch: int = -1
+        self._fr_base_rows: int = 0
+        self._fr_delta: DataFrame = self._empty_delta()
+        self._force_compact: bool = False
         self.frontier: DataFrame = FR.empty_frontier(spark)
         self.token_state: DataFrame = FR.empty_token_state(spark)
         self.pending: DataFrame | None = None  # follows + deferred for next epoch
@@ -435,6 +456,80 @@ class CrawlEngine:
     def now(self, epoch: int | None = None) -> float:
         e = self.epoch if epoch is None else epoch
         return self.base_ts + (e + 1) * self.epoch_interval
+
+    # -- merge-on-read frontier ---------------------------------------------
+    DELTA_COLS = FR.FRONTIER_COLS + ["_live"]
+
+    def _empty_delta(self) -> DataFrame:
+        return FR.empty_frontier(self.spark).withColumn("_live", F.lit(True))
+
+    def _rebuild_view(self) -> None:
+        """self.frontier = base ⊖ delta-keys ∪ live-delta.  The anti-join
+        is a scan of the persisted base (AQE broadcasts the small delta
+        key set); tombstoned keys (_live=false) simply don't come back."""
+        base_kept = self._fr_base.join(
+            self._fr_delta.select("project", "taskid"),
+            ["project", "taskid"],
+            "left_anti",
+        )
+        self.frontier = base_kept.unionByName(
+            self._fr_delta.filter(F.col("_live")).drop("_live")
+        )
+
+    def _apply_changes(self, changes: DataFrame, caches: list) -> None:
+        """Fold change rows (FRONTIER_COLS, unique per key) into the
+        delta — an upsert over O(delta) rows, never over the base.
+
+        The new delta is EAGERLY localCheckpoint-ed, not cached: each
+        change frame is built against the VIEW, and the view embeds the
+        delta, so a merely-cached delta would nest the previous view
+        inside every fold — the logical plan doubles per apply (~2^k
+        after k folds), and by the commit write the optimizer +
+        explainString were measured to OOM a 24g driver on a 120-page
+        world.  Checkpointing cuts the plan at a leaf RDD, keeping the
+        view a constant-size plan; the materialization job is O(delta),
+        the frame the checkpoint pins.  (Cluster equivalent: each fold
+        is a small Iceberg delta-file commit — also a materialization.)"""
+        self._fr_delta = FR.upsert(
+            self._fr_delta,
+            changes.withColumn("_live", F.lit(True)),
+            cols=self.DELTA_COLS,
+        ).localCheckpoint(eager=True)
+        self._rebuild_view()
+
+    def _drop_keys(self, keys: DataFrame, caches: list) -> None:
+        """Delete (project, taskid) keys from the frontier via delta
+        tombstones (the MoR equivalent of the reference's taskdb row
+        deletes for ephemeral control tasks).  A later re-insert of the
+        same key upserts over the tombstone, so drops are not sticky.
+        Eager localCheckpoint for the same plan-growth reason as
+        ``_apply_changes``."""
+        dtypes = dict(FR.empty_frontier(self.spark).dtypes)
+        tomb = keys.select("project", "taskid")
+        for c in FR.FRONTIER_COLS:
+            if c not in ("project", "taskid"):
+                tomb = tomb.withColumn(c, F.lit(None).cast(dtypes[c]))
+        tomb = tomb.select(*FR.FRONTIER_COLS).withColumn("_live", F.lit(False))
+        self._fr_delta = FR.upsert(
+            self._fr_delta, tomb, cols=self.DELTA_COLS
+        ).localCheckpoint(eager=True)
+        self._rebuild_view()
+
+    def _set_base(self, base: DataFrame, rows: int, epoch: int) -> None:
+        """Install a new compacted base: partitioned by the merge key so
+        downstream joins/aggs on (project, taskid) reuse the cached
+        partitioning (the local-mode stand-in for an Iceberg
+        bucket-transform table + storage-partitioned joins)."""
+        old = self._fr_base
+        self._fr_base = base.repartition(
+            self.spark.sparkContext.defaultParallelism, "project", "taskid"
+        ).persist()
+        self._fr_base_rows = rows
+        self._fr_base_epoch = epoch
+        if old is not None:
+            old.unpersist()
+        self._fr_delta = self._empty_delta()
+        self._rebuild_view()
 
     # -- seeding -----------------------------------------------------------
     def seed(self, seeds: DataFrame, callback: str = "index_page") -> None:
@@ -636,6 +731,60 @@ class CrawlEngine:
                 self.handler = handler
         self._get_info_sent.discard(name)
 
+    def delete_project(self, name: str) -> None:
+        """Remove a project and all its frontier state — the reference's
+        project-delete sweep (scheduler.py _check_delete semantics;
+        exercised by its tests/test_scheduler.py:716-724): frontier rows
+        tombstoned, pending arrivals dropped, projectdb/handler/cron
+        state cleared, and in cuckoo mode the seen-tier FORGETS the
+        project's keys (operators/cuckoo.py delete_keys — the capability
+        bloom lacks) so re-seeding re-admits them via the
+        filter-negative fast path.
+
+        Correctness never depends on filter deletion: a stale positive
+        still goes through the exact decision join against a frontier
+        that no longer holds the rows, so the URL re-enters as new —
+        only the join-free fast path is lost.  Bloom mode therefore
+        skips the filter update.  Keys whose taskid is shared with
+        ANOTHER project stay in the filter (one stored copy covers all
+        projects; removing it would hand the other project's duplicates
+        the novel-append path and break the frontier-unique invariant).
+
+        Forces a compaction at the next commit so the tombstones fold
+        away instead of riding the delta."""
+        keys = self.frontier.filter(F.col("project") == name).select(
+            "project", "taskid"
+        )
+        if self.seen_filter == "cuckoo" and self.seen_shards is not None:
+            keys = keys.cache()  # read twice: filter delete + tombstones
+            self._extra_caches.append(keys)
+            others = self.frontier.filter(F.col("project") != name).select(
+                "taskid"
+            )
+            del_keys = keys.select("taskid").join(others, "taskid", "left_anti")
+            self.seen_shards = cuckoo.delete_keys(
+                del_keys,
+                self.seen_shards,
+                n_shards=self.seen_shards_n,
+                buckets=self.seen_buckets,
+            )
+        self._drop_keys(keys, self._extra_caches)
+        self._force_compact = True
+        if self.pending is not None:
+            self.pending = self.pending.filter(F.col("project") != name)
+            self._pending_rows = None
+        if self._projects is not None:
+            self._projects.pop(name, None)
+        if self._multi:
+            self.handlers.pop(name, None)
+        self._project_state.pop(name, None)
+        self._get_info_sent.discard(name)
+        if self._multi:
+            pre = f"{name}{_DSEP}"
+            self._cron_last = {
+                k: v for k, v in self._cron_last.items() if not k.startswith(pre)
+            }
+
     def _paused_projects(self) -> list[str]:
         paused = [
             p
@@ -789,30 +938,28 @@ class CrawlEngine:
                     flagged, self.seen_shards = seenset.split(combined)
                 maybe = flagged.filter(F.col("seen")).drop("seen", "shard")
                 novel = flagged.filter(~F.col("seen")).drop("seen", "shard")
-                merged, deferred = FR.merge_incoming(
+                changes, deferred = FR.merge_changes(
                     self.frontier, maybe, now, None
                 )
-                self.frontier = merged.unionByName(novel.select(*FR.FRONTIER_COLS))
+                changes = changes.unionByName(novel.select(*FR.FRONTIER_COLS))
             else:
-                self.frontier, deferred = FR.merge_incoming(
+                changes, deferred = FR.merge_changes(
                     self.frontier, inc, now, self.inqueue_limit
                 )
             # deferred (possibly empty) rides along in pending; the
             # commit's footer row count decides next epoch, so no
             # isEmpty/count jobs here
             self.pending = deferred
-            # cache the merged frontier: the select stage, the lease
-            # upsert, the status fold, AND the snapshot write all build
-            # on it — one materialization instead of three
-            self.frontier = self.frontier.cache()
-            caches.append(self.frontier)
             _t = _time.monotonic()
-            # materialize the cached batch HERE so t_ingest is honest —
-            # leaving it lazy silently re-bills the canonicalize UDF +
-            # dedup to whatever action fires first (it showed up as
-            # "t_select" in the round-3 scaling profile).  ``ingested``
-            # stays the RAW pending size (the work the engine was asked
-            # to schedule), not the post-dedup distinct count.
+            # accepted arrivals fold into the MoR delta — O(changes),
+            # never a re-aggregation of the whole frontier.  The fold's
+            # eager checkpoint runs the canonicalize UDF + dedup + merge
+            # join NOW, so t_ingest stays honest (lazy, it re-billed to
+            # whatever action fired first — "t_select" in the round-3
+            # scaling profile).  ``ingested`` stays the RAW pending size
+            # (the work the engine was asked to schedule), not the
+            # post-dedup distinct count.
+            self._apply_changes(changes, caches)
             n_inc = inc.count()
             m["ingested"] = (
                 self._pending_rows if self._pending_rows is not None else n_inc
@@ -898,7 +1045,7 @@ class CrawlEngine:
             self.project_token_state = FR.update_token_state(
                 self.project_token_state, used_p, now
             )
-        self.frontier = FR.upsert(self.frontier, selected)  # record leases (W4)
+        self._apply_changes(selected, caches)  # record leases (W4)
 
         results = follows = None
         if n_selected:
@@ -936,6 +1083,10 @@ class CrawlEngine:
                 data_rows = data_rows.withColumn(
                     "orig_url", F.col("url")
                 ).withColumn("_redirects", F.lit(0))
+            if self.fetch_mode == "http":
+                data_rows = data_rows.withColumn(
+                    "_p_cookies", F.lit(None).cast("string")
+                )
             pre_parsed = False  # probe path parses page-side, before join-back
             if self.fetch_mode == "http":
                 # production path: repartition by host_bucket (few hosts
@@ -1243,16 +1394,20 @@ class CrawlEngine:
             failed = denied.select("project", "taskid", "seq", "callback").unionByName(
                 missing.select("project", "taskid", "seq", "callback")
             )
-            statuses = (
-                ok.select(
-                    "project", "taskid", "seq", "callback",
-                    F.col("_fetch_ok").alias("ok"),
-                    F.col("_p_etag").alias("etag"),
-                )
-                .unionByName(
-                    failed.withColumn("ok", F.lit(False))
-                    .withColumn("etag", F.lit(None).cast("string"))
-                )
+            scols = [
+                F.col("project"), F.col("taskid"), F.col("seq"),
+                F.col("callback"),
+                F.col("_fetch_ok").alias("ok"),
+                F.col("_p_etag").alias("etag"),
+            ]
+            if "_p_cookies" in ok.columns:
+                # http mode: the response cookie jar rides the status
+                # pack into last_cookies (tornado_fetcher.py:429-450)
+                scols.append(F.col("_p_cookies").alias("cookies"))
+            statuses = ok.select(*scols).unionByName(
+                failed.withColumn("ok", F.lit(False))
+                .withColumn("etag", F.lit(None).cast("string")),
+                allowMissingColumns=True,
             )
             nss_keys = [
                 self._dkey(p, n)
@@ -1270,20 +1425,25 @@ class CrawlEngine:
                 nss_pred = nss_pred | (F.col("callback") == "_on_get_info")
             if nss_keys or self._projects is not None:
                 # @not_send_status: the scheduler never hears about these
-                # tasks; drop the ephemeral rows instead of folding SUCCESS
+                # tasks; tombstone the ephemeral rows instead of folding
+                # SUCCESS
                 drop_keys = statuses.filter(nss_pred).select(
                     "project", "taskid"
                 )
                 statuses = statuses.filter(~nss_pred)
-                self.frontier = FR.apply_status(
-                    self.frontier, statuses.drop("callback"), now
+                self._apply_changes(
+                    FR.status_changes(
+                        self.frontier, statuses.drop("callback"), now
+                    ),
+                    caches,
                 )
-                self.frontier = self.frontier.join(
-                    drop_keys, ["project", "taskid"], "left_anti"
-                )
+                self._drop_keys(drop_keys, caches)
             else:
-                self.frontier = FR.apply_status(
-                    self.frontier, statuses.drop("callback"), now
+                self._apply_changes(
+                    FR.status_changes(
+                        self.frontier, statuses.drop("callback"), now
+                    ),
+                    caches,
                 )
             _t = _time.monotonic()
             m["robots_denied"] = denied.count()
@@ -1303,7 +1463,32 @@ class CrawlEngine:
             )
 
         # ---- commit (atomic snapshot) ----
-        tables = {"frontier": self.frontier, "token_state": self.token_state}
+        # MoR commit: normally only the (small) delta is written; the
+        # full frontier is rewritten (compaction) when the delta has
+        # outgrown its threshold — so steady-state epochs commit
+        # O(touched tasks), not O(frontier).
+        _t = _time.monotonic()
+        delta_rows = self._fr_delta.count()  # cached — cheap
+        compact = (
+            self._force_compact
+            or self._fr_base_epoch < 0
+            or delta_rows
+            >= max(
+                self.frontier_compact_min_rows,
+                int(self.frontier_compact_ratio * self._fr_base_rows),
+            )
+        )
+        tables = {"token_state": self.token_state}
+        fr_rows: int | None = None
+        if compact:
+            tables["frontier"] = self.frontier
+        else:
+            tables["frontier_delta"] = self._fr_delta
+            # exact live row count for metrics/hints: one scan of the
+            # persisted base + cached delta (at true scale this could be
+            # replaced by the base+delta upper bound)
+            fr_rows = self.frontier.count()
+        m["frontier_compacted"] = bool(compact)
         if self.seen_shards is not None:
             tables["seen_shards"] = self.seen_shards
         if self.project_token_state is not None:
@@ -1312,7 +1497,6 @@ class CrawlEngine:
             tables["results"] = results
         if self.pending is not None:
             tables["pending"] = self.pending
-        _t = _time.monotonic()
 
         def _lifecycle_state(table_rows: dict) -> dict:
             # Decide on_finished (W8, scheduler.py:541-562) BEFORE the
@@ -1330,6 +1514,12 @@ class CrawlEngine:
                 m["on_finished"] = True
                 self._finished_emitted = True
                 self._fire_on_finished = True
+            if compact:
+                base_epoch = self.epoch
+                base_rows = n_frontier = table_rows["frontier"]["rows"]
+            else:
+                base_epoch, base_rows = self._fr_base_epoch, self._fr_base_rows
+                n_frontier = fr_rows
             return {
                 "project_state": self._project_state,
                 "had_selects": self._had_selects,
@@ -1338,6 +1528,9 @@ class CrawlEngine:
                 "cron_last": self._cron_last,
                 "projects": self._projects,
                 "get_info_sent": sorted(self._get_info_sent),
+                "fr_base_epoch": base_epoch,
+                "fr_base_rows": base_rows,
+                "fr_rows": n_frontier,
             }
 
         manifest = self.store.write_epoch(
@@ -1346,13 +1539,23 @@ class CrawlEngine:
         m["t_commit"] = round(_time.monotonic() - _t, 2)
         m["n_results"] = manifest["tables"].get("results", {}).get("rows", 0)
         m["n_pending"] = manifest["tables"].get("pending", {}).get("rows", 0)
-        m["frontier_rows"] = manifest["tables"]["frontier"]["rows"]
-        self._frontier_rows = manifest["tables"]["frontier"]["rows"]
+        m["frontier_rows"] = manifest["engine_state"]["fr_rows"]
+        self._frontier_rows = m["frontier_rows"]
 
         # reload committed state: truncates lineage AND makes the next
         # epoch start from exactly what a resume would see
         _t = _time.monotonic()
-        self.frontier = self.store.read("frontier", self.epoch)
+        if compact:
+            self._set_base(
+                self.store.read("frontier", self.epoch),
+                manifest["tables"]["frontier"]["rows"],
+                self.epoch,
+            )
+            self._fr_base.count()  # materialize the new base cache
+        else:
+            self._fr_delta = self.store.read("frontier_delta", self.epoch)
+            self._rebuild_view()
+        self._force_compact = False
         self.token_state = self.store.read("token_state", self.epoch)
         if "seen_shards" in manifest["tables"]:
             self.seen_shards = self.store.read("seen_shards", self.epoch)
@@ -1388,8 +1591,23 @@ class CrawlEngine:
             return eng
         eng.epoch = last
         manifest = eng.store.manifest(last)
-        eng.frontier = eng.store.read("frontier", last)
-        eng._frontier_rows = manifest["tables"]["frontier"]["rows"]
+        st0 = manifest.get("engine_state", {})
+        base_epoch = st0.get("fr_base_epoch")
+        if base_epoch is None:
+            # legacy snapshot (pre-MoR): the frontier table at `last`
+            # IS the base
+            base_epoch = last if "frontier" in manifest["tables"] else -1
+        if base_epoch >= 0:
+            bman = eng.store.manifest(base_epoch)
+            eng._set_base(
+                eng.store.read("frontier", base_epoch),
+                bman["tables"]["frontier"]["rows"],
+                base_epoch,
+            )
+        if "frontier_delta" in manifest["tables"]:
+            eng._fr_delta = eng.store.read("frontier_delta", last)
+            eng._rebuild_view()
+        eng._frontier_rows = st0.get("fr_rows", eng._fr_base_rows)
         eng.token_state = eng.store.read("token_state", last)
         if "seen_shards" in manifest["tables"]:
             eng.seen_shards = eng.store.read("seen_shards", last)

@@ -59,26 +59,58 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
 _OPENER = urllib.request.build_opener(_NoRedirect)
 
 
+def _update_jar(jar: dict, headers) -> None:
+    """Fold a response's Set-Cookie headers into the jar (name -> value;
+    the session-cookie merge of tornado_fetcher.py:429-450 — attributes
+    like Path/Expires are dropped, matching the reference's result dict
+    which exposes plain name/value pairs)."""
+    try:
+        from http.cookies import SimpleCookie
+
+        for h in headers.get_all("Set-Cookie") or []:
+            c = SimpleCookie()
+            c.load(h)
+            for k, morsel in c.items():
+                jar[k] = morsel.value
+    except Exception:
+        pass  # malformed Set-Cookie never kills the fetch
+
+
 def fetch_one(
     url: str,
     etag: str | None,
     timeout: float,
     fetch_json: str | None = None,
     max_redirects: int = MAX_REDIRECTS,
+    cookies_json: str | None = None,
 ):
     """One conditional request following ≤ ``max_redirects`` manually ->
-    (body|None, status_code, etag|None, final_url, n_redirects).
+    (body|None, status_code, etag|None, final_url, n_redirects,
+    cookies_json|None).
 
     ``fetch_json`` is the task's fetch-options compartment (the
     reference task dict's ``fetch``; tornado_fetcher.py:232-301 consumes
     method/headers/cookies/data/user_agent/timeout per request).  POST
     bodies redirect per RFC: 301/302/303 re-issue as GET without the
-    body, 307/308 preserve method+body."""
+    body, 307/308 preserve method+body.
+
+    Cookies run through a per-task jar: seeded from ``cookies_json``
+    (the task's stored ``last_cookies`` — session continuation across
+    epochs), overlaid by the request's own cookie options, updated from
+    every hop's Set-Cookie and PRESENTED to the next hop (the
+    CookieJar-per-session behavior of tornado_fetcher.py:240-252 +
+    :429-450); the final jar is returned so the engine can persist it."""
+    import json
+
     method, data, extra_headers, per_timeout = "GET", None, {}, timeout
+    jar: dict = {}
+    if cookies_json:
+        try:
+            jar.update(json.loads(cookies_json))
+        except (ValueError, TypeError):
+            pass
     if fetch_json:
         try:
-            import json
-
             opts = json.loads(fetch_json)
             method = str(opts.get("method", "GET")).upper()
             d = opts.get("data")
@@ -90,9 +122,7 @@ def fetch_one(
                 extra_headers[str(hk)] = str(hv)
             ck = opts.get("cookies")
             if ck:
-                extra_headers["Cookie"] = "; ".join(
-                    f"{k}={v}" for k, v in ck.items()
-                )
+                jar.update({str(k): str(v) for k, v in ck.items()})
             if opts.get("user_agent"):
                 extra_headers["User-Agent"] = str(opts["user_agent"])
             if opts.get("timeout"):
@@ -100,15 +130,26 @@ def fetch_one(
         except (ValueError, TypeError, AttributeError):
             pass  # malformed fetch payload -> plain GET (never kill the batch)
     cur, hops = url, 0
+
+    def _jar_out():
+        return json.dumps(jar, sort_keys=True) if jar else None
+
     while True:
         headers = {"User-Agent": USER_AGENT, **extra_headers}
+        if jar:
+            headers["Cookie"] = "; ".join(f"{k}={v}" for k, v in jar.items())
         req = urllib.request.Request(cur, data=data, headers=headers, method=method)
         if etag:
             req.add_header("If-None-Match", etag)
         try:
             with _OPENER.open(req, timeout=per_timeout) as resp:
-                return resp.read(), int(resp.status), resp.headers.get("ETag"), cur, hops
+                _update_jar(jar, resp.headers)
+                return (
+                    resp.read(), int(resp.status), resp.headers.get("ETag"),
+                    cur, hops, _jar_out(),
+                )
         except urllib.error.HTTPError as e:
+            _update_jar(jar, e.headers)
             if e.code in REDIRECT_CODES and hops < max_redirects:
                 loc = e.headers.get("Location")
                 if loc:
@@ -120,10 +161,10 @@ def fetch_one(
                         method, data = "GET", None
                     continue
             if e.code == 304:
-                return None, 304, etag, cur, hops
-            return None, int(e.code), None, cur, hops
+                return None, 304, etag, cur, hops, _jar_out()
+            return None, int(e.code), None, cur, hops, _jar_out()
         except Exception:
-            return None, CONNECTION_ERROR_CODE, None, cur, hops
+            return None, CONNECTION_ERROR_CODE, None, cur, hops, _jar_out()
 
 
 def fetch_http(
@@ -148,6 +189,7 @@ def fetch_http(
             StructField("_p_etag", StringType()),
             StructField("orig_url", StringType()),
             StructField("_redirects", IntegerType()),
+            StructField("_p_cookies", StringType()),
         ]
     )
 
@@ -163,6 +205,7 @@ def fetch_http(
                     pdf["_p_etag"] = pd.Series([], dtype=object)
                     pdf["orig_url"] = pd.Series([], dtype=object)
                     pdf["_redirects"] = pd.Series([], dtype="int32")
+                    pdf["_p_cookies"] = pd.Series([], dtype=object)
                     yield pdf
                     continue
                 etags = (
@@ -175,10 +218,17 @@ def fetch_http(
                     if "fetch" in pdf.columns
                     else pd.Series([None] * len(pdf))
                 )
+                jars = (
+                    pdf["last_cookies"]
+                    if "last_cookies" in pdf.columns
+                    else pd.Series([None] * len(pdf))
+                )
                 results = list(
                     pool.map(
-                        lambda t: fetch_one(t[0], t[1], timeout, t[2], max_redirects),
-                        zip(pdf["url"], etags, fopts),
+                        lambda t: fetch_one(
+                            t[0], t[1], timeout, t[2], max_redirects, t[3]
+                        ),
+                        zip(pdf["url"], etags, fopts, jars),
                     )
                 )
                 pdf["_p_html"] = [r[0] for r in results]
@@ -193,6 +243,7 @@ def fetch_http(
                 pdf["_redirects"] = pd.array(
                     [r[4] for r in results], dtype="int32"
                 )
+                pdf["_p_cookies"] = [r[5] for r in results]
                 yield pdf
 
     return tasks.mapInPandas(run, schema=out_schema)

@@ -38,6 +38,10 @@ shows the struct view used for parity fixtures):
     last_etag     string (nullable)  etag of the last successful fetch —
                            drives If-None-Match conditional fetch
                            (tornado_fetcher.py:273-281 track_headers)
+    last_cookies  string (nullable)  JSON dict of the response cookie
+                           jar after the last successful fetch — the
+                           task presents it on its next request
+                           (tornado_fetcher.py:429-450 result cookies)
 
 Status flow reproduces scheduler.py:822-1001 exactly (see each
 function's docstring for the file:line being matched).
@@ -73,7 +77,7 @@ FRONTIER_COLS = [
     "priority", "retries", "retried", "exetime", "age", "itag",
     "force_update", "auto_recrawl", "cancel", "callback",
     "lastcrawltime", "updatetime", "seq", "lease_expires",
-    "save", "fetch", "last_etag",
+    "save", "fetch", "last_etag", "last_cookies",
 ]
 
 FRONTIER_SCHEMA = (
@@ -83,7 +87,7 @@ FRONTIER_SCHEMA = (
     " force_update boolean, auto_recrawl boolean, cancel boolean,"
     " callback string, lastcrawltime double, updatetime double,"
     " seq long, lease_expires double, save string, fetch string,"
-    " last_etag string"
+    " last_etag string, last_cookies string"
 )
 
 
@@ -126,6 +130,7 @@ def normalize_incoming(incoming: DataFrame, now: float) -> DataFrame:
     out = out.withColumn("updatetime", F.lit(float(now)))
     out = out.withColumn("lease_expires", F.lit(None).cast("double"))
     out = out.withColumn("last_etag", F.lit(None).cast("string"))
+    out = out.withColumn("last_cookies", F.lit(None).cast("string"))
     return out.select(*FRONTIER_COLS)
 
 
@@ -263,6 +268,7 @@ def merge_changes(
         F.col("lastcrawltime").alias("_o_lastcrawltime"),
         F.col("lease_expires").alias("_o_lease"),
         F.col("last_etag").alias("_o_last_etag"),
+        F.col("last_cookies").alias("_o_last_cookies"),
     )
     j = inc.join(
         old,
@@ -298,6 +304,7 @@ def merge_changes(
         # until the next fetch — tornado_fetcher.py:273-281)
         .withColumn("lease_expires", F.col("_o_lease"))
         .withColumn("last_etag", F.col("_o_last_etag"))
+        .withColumn("last_cookies", F.col("_o_last_cookies"))
         .select(*FRONTIER_COLS)
     )
     return changes, deferred
@@ -734,10 +741,13 @@ def status_changes(frontier: DataFrame, statuses: DataFrame, now: float) -> Data
     """Fetch+process outcomes as frontier-schema change rows
     (on_task_done scheduler.py:924-946 + on_task_failed :948-1001).
 
-    statuses: (project, taskid, ok:boolean [, etag:string]) for every
-    task whose lease was taken this epoch; a non-null etag on a
-    successful fetch is stored as last_etag for the next conditional
-    fetch (tornado_fetcher.py:273-281).
+    statuses: (project, taskid, ok:boolean [, etag:string]
+    [, cookies:string]) for every task whose lease was taken this
+    epoch; a non-null etag on a successful fetch is stored as
+    last_etag for the next conditional fetch (tornado_fetcher.py:
+    273-281), and a non-null cookies JSON is stored as last_cookies
+    for the task's next request (the response cookie jar,
+    tornado_fetcher.py:429-450).
 
     done:   status=SUCCESS, lastcrawltime=now; auto_recrawl ∧ age set ->
             stays ACTIVE with exetime = now + age (W6)
@@ -756,6 +766,11 @@ def status_changes(frontier: DataFrame, statuses: DataFrame, now: float) -> Data
         (
             F.col("etag") if "etag" in statuses.columns else F.lit(None).cast("string")
         ).alias("_s_etag"),
+        (
+            F.col("cookies")
+            if "cookies" in statuses.columns
+            else F.lit(None).cast("string")
+        ).alias("_s_cookies"),
     )
     j = frontier.join(
         st,
@@ -784,6 +799,12 @@ def status_changes(frontier: DataFrame, statuses: DataFrame, now: float) -> Data
             "last_etag",
             F.when(F.col("_ok") & F.col("_s_etag").isNotNull(), F.col("_s_etag"))
             .otherwise(F.col("last_etag")),
+        )
+        .withColumn(
+            "last_cookies",
+            F.when(
+                F.col("_ok") & F.col("_s_cookies").isNotNull(), F.col("_s_cookies")
+            ).otherwise(F.col("last_cookies")),
         )
         .select(*FRONTIER_COLS)
     )

@@ -927,6 +927,7 @@ def q_merge_frontier(spark, sf_dir):
         F.lit(None).cast("string").alias("save"),
         F.lit(None).cast("string").alias("fetch"),
         F.lit(None).cast("string").alias("last_etag"),
+        F.lit(None).cast("string").alias("last_cookies"),
     )
     incoming = FR.normalize_incoming(
         e.select(

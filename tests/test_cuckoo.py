@@ -193,3 +193,40 @@ def test_engine_cuckoo_resume(spark, small_world, tmp_path):
         for r in eng.frontier.collect()
     )
     assert key(full) == key(resumed)
+
+
+def test_engine_delete_project_forgets_cuckoo_keys(spark, small_world, tmp_path):
+    """Project delete (reference tests/test_scheduler.py:716-724): the
+    frontier loses the project's rows AND the cuckoo tier forgets its
+    keys, so re-seeding the same urls re-admits them via the
+    filter-negative (join-free) path instead of the exact decision join."""
+    from crawler_pyspider_spark.engine import CrawlEngine
+
+    eng = CrawlEngine(
+        spark, small_world["pages"], small_world["robots"],
+        small_world["politeness"], str(tmp_path / "wh"),
+        loop_limit=100000, seen_filter="cuckoo",
+        seen_shards_n=N_SHARDS, seen_buckets=BUCKETS,
+    )
+    eng.seed(small_world["seeds"])
+    eng.run(2)
+    tids = [r["taskid"] for r in eng.frontier.select("taskid").limit(5).collect()]
+    assert tids and eng.frontier.count() > 0
+
+    eng.delete_project("bench")
+    assert eng.frontier.filter(F.col("project") == "bench").count() == 0
+
+    # the filter no longer claims the deleted keys
+    probe_df = spark.createDataFrame([(t,) for t in tids], "taskid string")
+    flagged, _ = cuckoo.probe_and_insert(
+        probe_df, eng.seen_shards, n_shards=N_SHARDS, buckets=BUCKETS
+    )
+    assert all(not r["seen"] for r in flagged.collect())
+
+    # re-seeding re-admits: the urls crawl again, and the forced
+    # compaction folded the tombstones out of the committed snapshot
+    eng.seed(small_world["seeds"])
+    m = eng.run_epoch()
+    assert m["selected"] > 0
+    assert m["frontier_compacted"]
+    assert eng.frontier.filter(F.col("project") == "bench").count() > 0

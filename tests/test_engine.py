@@ -172,9 +172,17 @@ class TestOracleParity:
         for epoch in range(5):
             eng.run_epoch()
             oracle.run_epoch()
+            # the epoch's selected rows live in whichever table the MoR
+            # commit wrote: the full frontier (compaction epochs) or the
+            # delta (every touched task — selection always touches)
+            man = eng.store.manifest(epoch)
+            tbl = "frontier" if "frontier" in man["tables"] else "frontier_delta"
+            snap = spark.read.parquet(f"{wh}/{tbl}/epoch={epoch}")
+            if tbl == "frontier_delta":
+                snap = snap.filter(F.col("_live")).drop("_live")
             sel_engine = [
                 r.url
-                for r in spark.read.parquet(f"{wh}/frontier/epoch={epoch}")
+                for r in snap
                 .filter(F.col("lastcrawltime") == eng.now(epoch))
                 .orderBy(F.desc("priority"), F.asc("seq"))
                 .collect()

@@ -405,3 +405,60 @@ def test_http_fetch_options_plumbed_end_to_end(spark, tmp_path):
         assert json.loads(row.fetch)["method"] == "POST"
     finally:
         srv.shutdown()
+
+
+def test_http_response_cookies_chain_and_persist(spark, tmp_path):
+    """Response-cookie propagation (tornado_fetcher.py:240-252 session
+    CookieJar + :429-450 result cookies): a Set-Cookie on a redirect's
+    first hop is presented to the second hop, the final jar persists on
+    the frontier row (last_cookies), and the task's next fetch (auto
+    recrawl) presents it again."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits = []  # (path, cookie-header)
+
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+        def do_GET(self):  # noqa: N802
+            hits.append((self.path, self.headers.get("Cookie")))
+            if self.path == "/login":
+                self.send_response(302)
+                self.send_header("Set-Cookie", "sid=abc123; Path=/")
+                self.send_header("Location", "/account")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = b"<html><head><title>in</title></head><body></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        pages = spark.createDataFrame([], "url string, html binary")
+        eng = mk_engine(
+            spark, pages, str(tmp_path / "wh"), RECRAWL,
+            fetch_mode="http", epoch_interval=5.0,
+        )
+        eng.seed(_seed_df(spark, [f"{base}/login"]))
+        m = eng.run_epoch()
+        assert m["fetched_ok"] == 1 and m["redirected"] == 1
+        # hop 1 had no cookie; hop 2 presents hop 1's Set-Cookie
+        assert hits[0] == ("/login", None)
+        assert hits[1] == ("/account", "sid=abc123")
+        # the jar persisted on the frontier row
+        row = eng.frontier.filter(F.col("status") == FR.ACTIVE).first()
+        assert json.loads(row.last_cookies) == {"sid": "abc123"}
+        # auto_recrawl refetch: the stored jar is presented from hop 1
+        m1 = eng.run_epoch()
+        assert m1["selected"] == 1
+        assert hits[2] == ("/login", "sid=abc123")
+    finally:
+        srv.shutdown()

@@ -23,7 +23,7 @@ def mk_frontier(spark, rows):
         age=-1, itag=None, force_update=False, auto_recrawl=False,
         cancel=False, callback="index_page", lastcrawltime=None,
         updatetime=NOW, seq=0, lease_expires=None, save=None, fetch=None,
-        last_etag=None,
+        last_etag=None, last_cookies=None,
     )
     full = []
     for i, r in enumerate(rows):
