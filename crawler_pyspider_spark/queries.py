@@ -715,6 +715,53 @@ def q_doc_fingerprint(spark, sf_dir):
     return ex.groupBy("doc_id").agg(F.min(F.md5(F.col("s"))).alias("fingerprint"))
 
 
+DUP_SPAN_K = 8  # words per span
+DUP_SPAN_MAX_DF = 16  # boilerplate cut: spans in more docs than this are dropped
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated exact substrings (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" op): find
+    document pairs sharing verbatim ≥8-word spans, WITHOUT suffix arrays
+    and WITHOUT all-pairs.
+
+    Plan: explode 8-word rolling shingles → md5 → winnowing-style 1/16
+    mod-sample (keep hashes whose last hex digit is '0' — deterministic,
+    so two docs sharing a long span always sample the same positions) →
+    distinct (doc, hash) → bucket self-join on hash, capped at document
+    frequency ≤ 16 (the suffix-array pipelines drop high-frequency
+    boilerplate the same way) → pair counts.  Shuffle volume is
+    O(tokens/16) and the capped buckets bound join fan-out, so no
+    quadratic term survives at 100 TB; complements doc-level minhash
+    (q_dedup_minhash) which misses short verbatim overlap between
+    otherwise-different docs."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text"), DUP_SPAN_K).alias("sh")
+    )
+    ex = (
+        d.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+        .filter(F.substring("h", 32, 1) == "0")
+        .distinct()
+    )
+    keep = (
+        ex.groupBy("h")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= DUP_SPAN_MAX_DF))
+        .select("h")
+    )
+    cand = ex.join(keep, "h")
+    return (
+        cand.alias("a")
+        .join(cand.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_spans"))
+    )
+
+
 # ===========================================================================
 # crawl-graph reachability (the link-graph op, oracle = recursive CTE)
 # ===========================================================================
@@ -1641,6 +1688,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "dup_spans": q_dup_spans,
     "crawl_reachability": q_crawl_reachability,
     "token_bucket": q_token_bucket,
     "lease_release": q_lease_release,
@@ -2062,6 +2110,30 @@ ORACLE_SQL = {
         SELECT doc_id, min(md5(s)) AS fingerprint
         FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
         GROUP BY doc_id
+    """,
+    "dup_spans": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {DUP_SPAN_K} THEN
+                       list_transform(range(1, len(t) - {DUP_SPAN_K - 2}),
+                           i -> array_to_string(t[i:i+{DUP_SPAN_K - 1}], ' '))
+                   ELSE [array_to_string(t, ' ')] END AS spans
+            FROM toks
+        ), ex AS (
+            SELECT DISTINCT doc_id, md5(s) AS h
+            FROM (SELECT doc_id, unnest(spans) AS s FROM sh)
+            WHERE substr(md5(s), 32, 1) = '0'
+        ), keep AS (
+            SELECT h FROM ex GROUP BY h
+            HAVING count(*) BETWEEN 2 AND {DUP_SPAN_MAX_DF}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_spans
+        FROM ex a JOIN keep USING (h) JOIN ex b USING (h)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """,
     "crawl_reachability": f"""
         WITH RECURSIVE ids AS (

