@@ -738,11 +738,17 @@ def q_dup_spans(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _shingles(F.col("text"), DUP_SPAN_K).alias("sh")
     )
+    # materialize the sampled (doc, h) set once: it feeds the DF filter
+    # AND both sides of the self-join (3 consumers).  ~1/16 of token
+    # volume, so the cache is small relative to the scan it saves; at
+    # cluster scale this is the "write the fingerprint table, then
+    # join it" step of the suffix-array-free pipeline.
     ex = (
         d.select("doc_id", F.explode("sh").alias("s"))
         .select("doc_id", F.md5("s").alias("h"))
         .filter(F.substring("h", 32, 1) == "0")
         .distinct()
+        .persist()
     )
     keep = (
         ex.groupBy("h")

@@ -47,6 +47,9 @@ AUDIT = [
     ("pagerank", ["HashAggregate"]),         # per-round inflow = long-sum agg, shuffles on dst only
     ("dedup_minhash_cc", ["HashAggregate"]), # label propagation = join + min agg, no driver union-find
     ("stratified_sample", ["Project"]),      # scan-local hash-threshold filter, zero shuffle
+    # round 4: substring dedup — winnowed sample then DF-capped bucket
+    # join; the pair agg must be a hash agg, the join an equi-join on h
+    ("dup_spans", ["HashAggregate", "Join"]),
 ]
 
 
