@@ -147,6 +147,13 @@ The tier wins when frontier_rows × bytes/row no longer fits the shuffle
 budget — the 10^10 sizing in operators/cuckoo.py's module doc — while
 the probe pass stays O(batch).
 
+Note: these legs (and the cuckoo pair below) ran the ROUND-4 engine
+(merge-on-read frontier — commits write O(touched tasks), not
+O(frontier)), so absolute urls/s here exceed the round-3 headline
+table above, which is kept as-is: its 5-pair occupancy median is a
+protocol result the engine change does not invalidate, and the fresh
+pair below re-confirms plan occupancy (≈1.0) on the shipped engine.
+
 Cuckoo-path N-vs-4N (same paired protocol):
 **{cp[str(LO)]['throughput_urls_per_sec']:.0f} urls/s @ local[{LO}]** /
 **{cp[str(HI)]['throughput_urls_per_sec']:.0f} urls/s @ local[{HI}]** —
