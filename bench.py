@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "crawl_reachability",
     "pagerank",
     "repetition_ratio",
+    "dup_spans",
 ]
 
 
