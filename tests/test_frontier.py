@@ -421,6 +421,44 @@ class TestStatusCount:
         assert got == {("p", 1): 1, ("p", 2): 2, ("p", 3): 1}
 
 
+def test_salted_rank_matches_unsalted(spark):
+    """Skew handling (SURVEY.md §4): the two-phase salted pre-rank for
+    heavy hosts must select exactly the rows the plain per-host window
+    selects — the global top-budget set per host is contained in the
+    union of per-salt top-budget sets.  Heavy host (600 ready rows,
+    budget 25) + light host (5 rows) so both the salted and the
+    pass-through branches are exercised in one call."""
+    rows = [
+        {"taskid": f"h{i:04d}", "priority": i % 7, "seq": i, "host": "heavy.test",
+         "url": f"http://heavy.test/p/{i}"}
+        for i in range(600)
+    ] + [
+        {"taskid": f"l{i:04d}", "priority": 0, "seq": 1000 + i, "host": "light.test",
+         "url": f"http://light.test/p/{i}"}
+        for i in range(5)
+    ]
+    f = mk_frontier(spark, rows).cache()
+    pol = spark.createDataFrame(
+        [("heavy.test", 1e9, 25.0), ("light.test", 1e9, 100.0)],
+        "key string, rate double, burst double",
+    )
+    kw = dict(politeness=pol, loop_limit=100000)
+    unsalted = select(spark, f, salt_threshold=10**9, **kw)
+    salted = select(spark, f, salt_threshold=50, n_salts=4, **kw)
+    a = sorted(r["taskid"] for r in unsalted.collect())
+    b = sorted(r["taskid"] for r in salted.collect())
+    assert a == b
+    # budget binds on the heavy host only: 25 + 5 rows
+    assert len(a) == 30
+    heavy = [t for t in a if t.startswith("h")]
+    # unique (priority, seq) ordering makes the top-25 deterministic
+    expect = sorted(
+        (f"h{i:04d}" for i in range(600)),
+        key=lambda t: (-(int(t[1:]) % 7), int(t[1:])),
+    )[:25]
+    assert sorted(expect) == heavy
+
+
 def test_with_global_rank_scalable_path_matches_window(spark):
     """The range-partition + offset rank (large-input path) must produce
     exactly the same rank values as the single-partition window."""
