@@ -191,3 +191,31 @@ class TestOracleParity:
 
         seen_engine = {r.url for r in eng.frontier.select("url").collect()}
         assert seen_engine == oracle.seen_urls()
+
+
+def test_fetch_join_modes_equivalent(spark, small_world, tmp_path):
+    """The four fetch-join strategies (auto / broadcast / probe /
+    shuffle — engine.py fetch dispatch) are PHYSICAL plan choices only:
+    the crawl state after 3 epochs must be identical row-for-row.
+    Previously only 'auto' was exercised by tests; bench runs
+    'shuffle'."""
+    sig = lambda eng: sorted(  # noqa: E731
+        (r.taskid, r.status, r.retried, r.exetime)
+        for r in eng.frontier.select(
+            "taskid", "status", "retried", "exetime"
+        ).collect()
+    )
+    states = {}
+    for mode in ("auto", "broadcast", "probe", "shuffle"):
+        eng = CrawlEngine(
+            spark, small_world["pages"], small_world["robots"],
+            small_world["politeness"], str(tmp_path / f"wh_{mode}"),
+            loop_limit=100000, fetch_join=mode,
+        )
+        eng.seed(small_world["seeds"])
+        eng.run(3)
+        states[mode] = sig(eng)
+    ref = states["auto"]
+    assert ref  # the crawl actually progressed
+    for mode, got in states.items():
+        assert got == ref, f"fetch_join={mode} diverged"
