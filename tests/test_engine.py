@@ -219,3 +219,35 @@ def test_fetch_join_modes_equivalent(spark, small_world, tmp_path):
     assert ref  # the crawl actually progressed
     for mode, got in states.items():
         assert got == ref, f"fetch_join={mode} diverged"
+
+
+def test_compaction_policy_state_invariant(spark, small_world, tmp_path):
+    """Merge-on-read bookkeeping must be invisible to crawl semantics:
+    compacting every epoch (min_rows=0, ratio=0) and never compacting
+    (huge thresholds — every epoch commits only a frontier_delta) must
+    leave the identical frontier view."""
+    sig = lambda eng: sorted(  # noqa: E731
+        (r.taskid, r.status, r.retried, r.exetime)
+        for r in eng.frontier.select(
+            "taskid", "status", "retried", "exetime"
+        ).collect()
+    )
+    states = {}
+    for name, kw in (
+        ("always", dict(frontier_compact_min_rows=0, frontier_compact_ratio=0.0)),
+        ("never", dict(frontier_compact_min_rows=10**9, frontier_compact_ratio=1e9)),
+    ):
+        eng = CrawlEngine(
+            spark, small_world["pages"], small_world["robots"],
+            small_world["politeness"], str(tmp_path / f"wh_{name}"),
+            loop_limit=100000, **kw,
+        )
+        eng.seed(small_world["seeds"])
+        ms = eng.run(4)
+        states[name] = sig(eng)
+        if name == "always":
+            assert all(m["frontier_compacted"] for m in ms)
+        else:
+            # epoch 0 installs the first base; after that, delta-only
+            assert not any(m["frontier_compacted"] for m in ms[1:])
+    assert states["always"] == states["never"] and states["always"]
