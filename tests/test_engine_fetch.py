@@ -462,3 +462,55 @@ def test_http_response_cookies_chain_and_persist(spark, tmp_path):
         assert hits[2] == ("/login", "sid=abc123")
     finally:
         srv.shutdown()
+
+
+def test_http_redirect_budget_enforced(spark, tmp_path):
+    """max_redirects bounds the per-task hop budget in fetch_mode='http'
+    (tornado_fetcher.py max_redirects): an endless 302 chain must stop
+    after exactly max_redirects hops and land in the retry ladder as a
+    non-200, and max_redirects=0 must not follow even one hop."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits = []
+
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+        def do_GET(self):  # noqa: N802
+            hits.append(self.path)
+            n = int(self.path.rsplit("/", 1)[-1])
+            self.send_response(302)
+            self.send_header("Location", f"/r/{n + 1}")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        pages = spark.createDataFrame([], "url string, html binary")
+        eng = mk_engine(
+            spark, pages, str(tmp_path / "wh2"), RESULT_ONLY,
+            fetch_mode="http", max_redirects=2, epoch_interval=5.0,
+        )
+        eng.seed(_seed_df(spark, [f"{base}/r/0"]))
+        m = eng.run_epoch()
+        assert m["fetched_ok"] == 0 and m["fetch_error"] == 1
+        # origin + exactly 2 followed hops, then the budget stops it
+        assert hits == ["/r/0", "/r/1", "/r/2"]
+        row = eng.frontier.first()
+        assert row.retried == 1  # non-200 -> retry ladder
+
+        hits.clear()
+        eng0 = mk_engine(
+            spark, pages, str(tmp_path / "wh0"), RESULT_ONLY,
+            fetch_mode="http", max_redirects=0, epoch_interval=5.0,
+        )
+        eng0.seed(_seed_df(spark, [f"{base}/r/0"]))
+        m0 = eng0.run_epoch()
+        assert m0["fetched_ok"] == 0 and m0["fetch_error"] == 1
+        assert hits == ["/r/0"]  # zero hops followed
+    finally:
+        srv.shutdown()
