@@ -514,3 +514,44 @@ def test_http_redirect_budget_enforced(spark, tmp_path):
         assert hits == ["/r/0"]  # zero hops followed
     finally:
         srv.shutdown()
+
+
+def test_http_fetch_timeout_is_an_error_not_a_hang(spark, tmp_path):
+    """fetch_timeout bounds each request (tornado_fetcher.py
+    connect/request timeout): a handler that stalls longer than the
+    budget fails into the retry ladder; fast URLs in the same batch are
+    unaffected."""
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+        def do_GET(self):  # noqa: N802
+            if self.path.startswith("/slow"):
+                _time.sleep(5)
+            body = b"<html><head><title>ok</title></head><body></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        pages = spark.createDataFrame([], "url string, html binary")
+        eng = mk_engine(
+            spark, pages, str(tmp_path / "wh"), RESULT_ONLY,
+            fetch_mode="http", fetch_timeout=1.0, epoch_interval=5.0,
+        )
+        eng.seed(_seed_df(spark, [f"{base}/fast", f"{base}/slow"]))
+        m = eng.run_epoch()
+        assert m["fetched_ok"] == 1 and m["fetch_error"] == 1
+        rows = {r.url: r for r in eng.frontier.collect()}
+        assert rows[f"{base}/slow"].retried == 1
+        assert rows[f"{base}/fast"].retried == 0
+    finally:
+        srv.shutdown()
