@@ -251,3 +251,24 @@ def test_compaction_policy_state_invariant(spark, small_world, tmp_path):
             # epoch 0 installs the first base; after that, delta-only
             assert not any(m["frontier_compacted"] for m in ms[1:])
     assert states["always"] == states["never"] and states["always"]
+
+
+def test_host_bucket_count_is_state_invariant(spark, small_world, tmp_path):
+    """n_host_buckets only shapes physical partitioning (repartition
+    key for the fetch stage); any value must yield identical crawl
+    state."""
+    sig = lambda eng: sorted(  # noqa: E731
+        (r.taskid, r.status, r.retried)
+        for r in eng.frontier.select("taskid", "status", "retried").collect()
+    )
+    states = {}
+    for n in (3, 1024):
+        eng = CrawlEngine(
+            spark, small_world["pages"], small_world["robots"],
+            small_world["politeness"], str(tmp_path / f"wh_{n}"),
+            loop_limit=100000, n_host_buckets=n,
+        )
+        eng.seed(small_world["seeds"])
+        eng.run(3)
+        states[n] = sig(eng)
+    assert states[3] == states[1024] and states[3]
