@@ -39,12 +39,15 @@ BENCH_QUERIES = [
 ]
 
 
-def time_query(fn, spark, sf_dir, reps: int = 2) -> float:
+def time_query(fn, spark, sf_dir, reps: int = 3) -> float:
     """Best-of-``reps`` wall seconds — the same noisy-VM defense as
     tools/scaling_bench.py's best-of-3: the first execution of a plan
     shape pays one-time JVM classload/codegen for its operators (a
-    window-heavy plan can pay seconds), which is per-process overhead,
-    not per-query cost; a service amortizes it across epochs."""
+    window-heavy plan can pay 10+ s cold), which is per-process
+    overhead, not per-query cost; a service amortizes it across epochs.
+    Measured floors on this VM need rep 3: best-of-2 still leaked
+    several seconds of cold-start into window-heavy queries whenever
+    rep 2 landed on a host-steal burst."""
     best = None
     for _ in range(reps):
         t0 = time.monotonic()
