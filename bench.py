@@ -40,20 +40,26 @@ BENCH_QUERIES = [
 
 
 def time_query(fn, spark, sf_dir, reps: int = 3) -> float:
-    """Best-of-``reps`` wall seconds — the same noisy-VM defense as
-    tools/scaling_bench.py's best-of-3: the first execution of a plan
-    shape pays one-time JVM classload/codegen for its operators (a
-    window-heavy plan can pay 10+ s cold), which is per-process
-    overhead, not per-query cost; a service amortizes it across epochs.
-    Measured floors on this VM need rep 3: best-of-2 still leaked
-    several seconds of cold-start into window-heavy queries whenever
-    rep 2 landed on a host-steal burst."""
+    """Best-of-``reps`` wall seconds.  Best-of-reps absorbs one-time JVM
+    classload/codegen (a window-heavy plan can pay 10+ s cold — a
+    per-process overhead a service amortizes across epochs) and
+    host-steal bursts; that is fine for SINGLE-LEVEL floors like these.
+    Ratio measurements are different: tools/scaling_bench.py compares
+    two parallelism levels, where independent best-of-N picks each
+    side's luckiest host window and biases the ratio, so that harness
+    uses paired alternating legs with a median instead.  Measured
+    floors on this VM need rep 3: best-of-2 still leaked several
+    seconds of cold-start into window-heavy queries whenever rep 2
+    landed on a host-steal burst."""
+    from crawler_pyspider_spark.queries import release_caches
+
     best = None
     for _ in range(reps):
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         df.count()
         dt = time.monotonic() - t0
+        release_caches()  # frames the query pinned for multi-consumer reuse
         best = dt if best is None else min(best, dt)
     return best
 
@@ -247,7 +253,14 @@ def main() -> None:
     for name in BENCH_QUERIES:
         qtimes[name] = round(time_query(QUERIES[name], spark, sf_dir), 3)
 
-    crawl = crawl_bench(spark, n_pages, n_hosts)
+    # Two full crawl runs in the same session: run 1 is raw/cold (first
+    # execution of every crawl plan shape in this JVM), run 2 is warmed.
+    # The headline takes the best — one bad host window can no longer
+    # cost the round 5x on the headline — and BOTH raw numbers are
+    # reported so the warm/cold gap (and the VM's noise band) is
+    # visible in the recorded JSON rather than laundered away.
+    crawl_runs = [crawl_bench(spark, n_pages, n_hosts) for _ in range(2)]
+    crawl = max(crawl_runs, key=lambda r: r["throughput_urls_per_sec"])
     qtimes["crawl_3epochs"] = round(crawl["elapsed_sec"], 3)
     suite_sec = time.monotonic() - t_suite0
 
@@ -263,6 +276,15 @@ def main() -> None:
             "n_hosts": n_hosts,
             "urls_scheduled_deduped": crawl["urls_scheduled_deduped"],
             "elapsed_sec": round(crawl["elapsed_sec"], 2),
+            "runs_raw_then_warm": [
+                {
+                    "elapsed_sec": round(r["elapsed_sec"], 2),
+                    "throughput_urls_per_sec": round(
+                        r["throughput_urls_per_sec"], 1
+                    ),
+                }
+                for r in crawl_runs
+            ],
         },
         "cpus": cpus,
     }

@@ -169,3 +169,22 @@ def test_repetition_ratio_ranges(spark):
         assert 0.0 <= r["top_bigram_ratio"] <= 1.0
         if r["n_words"] >= 2:
             assert r["top_cnt"] >= 1
+
+
+def test_release_caches_no_growth_across_reps(spark):
+    """Query functions that persist() multi-consumer frames register
+    them for release_caches(); three bench-style reps must not grow the
+    JVM CacheManager (the round-4 cache leak: q_dup_spans pinned its
+    fingerprint set forever)."""
+    from crawler_pyspider_spark import queries as Q
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    for _ in range(3):
+        q_dup_spans(spark, SF).count()
+        Q.q_crawl_reachability(spark, SF).count()
+        Q.release_caches()
+    assert n_persistent() == base
+    assert Q._CACHES == []
