@@ -60,6 +60,83 @@ def build_url(url: str, params: dict | None = None) -> str:
     return urlunparse([scheme, netloc, path, parms, query, fragment])
 
 
+def get_content_type(filename: str) -> str:
+    """Guess a part's Content-Type from its filename (reference
+    libs/url.py:16-18 get_content_type)."""
+    import mimetypes
+
+    return mimetypes.guess_type(filename)[0] or "application/octet-stream"
+
+
+def encode_multipart_formdata(
+    fields=None, files=None, boundary: str | None = None
+) -> tuple[str, bytes]:
+    """RFC 2388 multipart/form-data encoder (X9; reference libs/url.py:
+    21-26 _encode_multipart_formdata, whose semantics come from
+    requests' RequestEncodingMixin._encode_files — re-implemented here
+    on the stdlib).  Returns ``(content_type, body_bytes)``.
+
+    ``fields``: dict or (key, value) pairs of plain form fields;
+    list/tuple values emit one part per element.  ``files``: dict of
+    field name → content, where content is ``str | bytes`` (filename
+    defaults to the field name), ``(filename, content)``,
+    ``(filename, content, content_type)``, or
+    ``(filename, content, content_type, extra_headers)``; when no
+    content type is given it is guessed from the filename.
+    ``boundary`` pins the delimiter for deterministic tests; the
+    default is fresh entropy per call."""
+    import secrets
+
+    if boundary is None:
+        boundary = secrets.token_hex(16)
+    chunks: list[bytes] = []
+
+    def _b(v) -> bytes:
+        return v if isinstance(v, bytes) else str(v).encode("utf-8")
+
+    def _part(headers: list[str], content) -> None:
+        chunks.append(b"--" + boundary.encode("ascii"))
+        chunks.extend(h.encode("utf-8") for h in headers)
+        chunks.append(b"")
+        chunks.append(_b(content))
+
+    items = fields.items() if isinstance(fields, dict) else list(fields or [])
+    for key, val in items:
+        for v in val if isinstance(val, (list, tuple)) else [val]:
+            if v is None:
+                continue
+            _part([f'Content-Disposition: form-data; name="{key}"'], v)
+
+    fitems = files.items() if isinstance(files, dict) else list(files or [])
+    for key, val in fitems:
+        extra_hdrs: list[str] = []
+        if isinstance(val, (tuple, list)):
+            if len(val) == 2:
+                fn, content = val
+                ctype = get_content_type(fn)
+            elif len(val) == 3:
+                fn, content, ctype = val
+            else:
+                fn, content, ctype, extra = val[:4]
+                extra_hdrs = [f"{hk}: {hv}" for hk, hv in (extra or {}).items()]
+        else:
+            fn, content, ctype = key, val, get_content_type(key)
+        hdrs = [
+            f'Content-Disposition: form-data; name="{key}"; filename="{fn}"'
+        ]
+        if ctype:
+            hdrs.append(f"Content-Type: {ctype}")
+        hdrs.extend(extra_hdrs)
+        _part(hdrs, content)
+
+    chunks.append(b"--" + boundary.encode("ascii") + b"--")
+    chunks.append(b"")
+    return (
+        f"multipart/form-data; boundary={boundary}",
+        b"\r\n".join(chunks),
+    )
+
+
 def curl_to_arguments(cmd: str) -> dict:
     """Parse a browser-copied ``curl ...`` command line into crawl
     kwargs (X8; semantics of libs/url.py:73-123): urls, headers,
@@ -151,8 +228,8 @@ SEED_COLUMNS = [
 # dict's `fetch` compartment — tornado_fetcher.py:232-301 consumes
 # method/headers/cookies/data/proxy/user_agent/timeout per request)
 FETCH_KEYS = (
-    "method", "headers", "cookies", "data", "user_agent", "timeout",
-    "proxy", "use_gzip", "validate_cert",
+    "method", "headers", "cookies", "data", "data_b64", "user_agent",
+    "timeout", "proxy", "use_gzip", "validate_cert",
 )
 
 
@@ -237,6 +314,15 @@ class CrawlBuilder:
         self._kwargs["force_update"] = bool(flag)
         return self
 
+    def set_files(self, files: dict) -> "CrawlBuilder":
+        """Attach multipart upload parts (reference base_handler.py:
+        283-294: ``files`` forces multipart/form-data encoding of
+        ``data``+``files``; ``data`` must then be a dict of plain
+        fields).  Encoding happens in ``to_row`` so later ``data``
+        merges still land before the body is built."""
+        self._kwargs["files"] = dict(files)
+        return self
+
     def set_kwargs_kv(self, key, value) -> "CrawlBuilder":
         self._kwargs[key] = value
         return self
@@ -257,10 +343,33 @@ class CrawlBuilder:
         return dict(self._kwargs)
 
     def to_row(self, project: str = "bench") -> tuple:
-        """One seed row in SEED_COLUMNS order for the engine's ingest."""
+        """One seed row in SEED_COLUMNS order for the engine's ingest.
+
+        Body encoding mirrors reference base_handler.py:283-294:
+        ``files`` ⇒ multipart/form-data (Content-Type header carries
+        the boundary; the binary body rides the JSON fetch compartment
+        base64-encoded — the JSON-transport analogue of the reference
+        packing raw bytes into its task dict); a plain dict ``data`` ⇒
+        urlencoded form body; any ``data`` defaults the method to POST
+        (fetch_http enforces the same default fetcher-side)."""
+        import base64
         import json
 
-        k = self._kwargs
+        k = dict(self._kwargs)
+        if k.get("files"):
+            data = k.pop("data", None) or {}
+            assert isinstance(data, dict), (
+                "data must be a dict when using with files!"
+            )
+            ctype, body = encode_multipart_formdata(data, k.pop("files"))
+            hdrs = dict(k.get("headers") or {})
+            hdrs["Content-Type"] = ctype
+            k["headers"] = hdrs
+            k["data_b64"] = base64.b64encode(body).decode("ascii")
+            k.setdefault("method", "POST")
+        elif isinstance(k.get("data"), dict):
+            k["data"] = urlencode(k["data"])
+            k.setdefault("method", "POST")
         fetch = {fk: k[fk] for fk in FETCH_KEYS if k.get(fk) is not None}
         return (
             self.get_url(),

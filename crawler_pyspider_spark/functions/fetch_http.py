@@ -116,8 +116,15 @@ def fetch_one(
             d = opts.get("data")
             if d is not None:
                 data = d.encode() if isinstance(d, str) else bytes(d)
-                if method == "GET":
-                    method = "POST"  # data implies POST (reference _build_url)
+            elif opts.get("data_b64") is not None:
+                # binary bodies (multipart/form-data from
+                # CrawlBuilder.set_files) ride the JSON fetch
+                # compartment base64-encoded
+                import base64
+
+                data = base64.b64decode(opts["data_b64"])
+            if data is not None and method == "GET":
+                method = "POST"  # data implies POST (reference _build_url)
             for hk, hv in (opts.get("headers") or {}).items():
                 extra_headers[str(hk)] = str(hv)
             ck = opts.get("cookies")

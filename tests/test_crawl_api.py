@@ -87,6 +87,69 @@ def test_crawl_builder_row():
     assert fetch == {"method": "POST", "data": "a=1", "headers": {"X-K": "1"}}
 
 
+def test_encode_multipart_formdata():
+    """X9 closure — multipart/form-data encoder parity with reference
+    libs/url.py:21-26 (_encode_files semantics): fields first, then
+    file parts with filename + guessed Content-Type, CRLF framing,
+    trailing boundary; binary content passes through byte-exact."""
+    from crawler_pyspider_spark.functions.crawl_api import (
+        encode_multipart_formdata,
+    )
+
+    ct, body = encode_multipart_formdata(
+        {"a": "1", "multi": ["x", "y"]},
+        {
+            "f": ("r.txt", b"hello"),
+            "raw": b"\x00\xff\x01",  # filename defaults to field name
+            "typed": ("d.bin", b"zz", "application/x-custom"),
+        },
+        boundary="BND",
+    )
+    assert ct == "multipart/form-data; boundary=BND"
+    parts = body.split(b"--BND")
+    assert parts[-1] == b"--\r\n" and body.endswith(b"--BND--\r\n")
+    txt = body.decode("latin-1")
+    assert 'Content-Disposition: form-data; name="a"\r\n\r\n1\r\n' in txt
+    assert txt.count('name="multi"') == 2  # list value -> one part each
+    assert (
+        'name="f"; filename="r.txt"\r\nContent-Type: text/plain\r\n\r\nhello'
+        in txt
+    )
+    assert b'name="raw"; filename="raw"' in body
+    assert b"application/octet-stream\r\n\r\n\x00\xff\x01\r\n" in body
+    assert "application/x-custom" in txt
+    # fresh entropy per call when the boundary is not pinned
+    ct1, _ = encode_multipart_formdata({"a": "1"}, None)
+    ct2, _ = encode_multipart_formdata({"a": "1"}, None)
+    assert ct1 != ct2
+
+
+def test_crawl_builder_files_encodes_multipart():
+    """base_handler.py:283-294 parity: files ⇒ multipart body +
+    Content-Type header with the boundary + POST default; dict data
+    without files ⇒ urlencoded body."""
+    import base64
+    import json
+
+    b = CrawlBuilder("http://h.test/up").set_files(
+        {"doc": ("a.txt", b"payload")}
+    ).set_kwargs_kv("data", {"k": "v"})
+    fetch = json.loads(b.to_row()[7])
+    assert fetch["method"] == "POST"
+    ctype = fetch["headers"]["Content-Type"]
+    assert ctype.startswith("multipart/form-data; boundary=")
+    bnd = ctype.split("boundary=")[1]
+    body = base64.b64decode(fetch["data_b64"])
+    assert f"--{bnd}".encode() in body and b"payload" in body
+    assert b'name="k"' in body and b'filename="a.txt"' in body
+    # plain dict data (no files) urlencodes, reference _encode_params
+    b2 = CrawlBuilder("http://h.test/p").set_kwargs_kv(
+        "data", {"a": "1", "b": "two words"}
+    )
+    f2 = json.loads(b2.to_row()[7])
+    assert f2["data"] == "a=1&b=two+words" and f2["method"] == "POST"
+
+
 def test_handler_page_enqueue_end_to_end(spark, small_world, tmp_path):
     url = small_world["pages"].select("url").orderBy("url").first()["url"]
 

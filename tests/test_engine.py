@@ -56,11 +56,17 @@ class TestCrawlE2E:
         )
         eng.seed(small_world["seeds"])
         metrics = eng.run(4)
-        # monotone coverage, bounded by world size (dedup works)
-        assert metrics[-1]["frontier_rows"] <= 120 + 5
-        assert metrics[-1]["frontier_rows"] > metrics[0]["frontier_rows"]
-        # every frontier row is unique by taskid
+        # monotone coverage, bounded by world size (dedup works) — the
+        # exact view count; metrics["frontier_rows"] is a documented
+        # UPPER BOUND on delta-only epochs (base + live delta, no full
+        # base scan per commit), so assert on the view and sanity-check
+        # the bound brackets it
         n = eng.frontier.count()
+        assert n <= 120 + 5
+        # epoch 0 compacts, so its metric is the exact post-seed count
+        assert n > metrics[0]["frontier_rows"]
+        assert metrics[-1]["frontier_rows"] >= n
+        # every frontier row is unique by taskid
         assert eng.frontier.select("taskid").distinct().count() == n
 
     def test_five_crawls_two_distinct_urls(self, spark, small_world, wh):

@@ -407,6 +407,63 @@ def test_http_fetch_options_plumbed_end_to_end(spark, tmp_path):
         srv.shutdown()
 
 
+def test_http_multipart_post_round_trips(spark, tmp_path):
+    """X9 closure end-to-end: CrawlBuilder.set_files → multipart body
+    (reference base_handler.py:283-294 + libs/url.py:21-26) → base64
+    fetch compartment → fetch_http POSTs the exact bytes with the
+    boundary-bearing Content-Type to a local stub."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen = {}
+
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            seen[self.path] = {
+                "content_type": self.headers.get("Content-Type", ""),
+                "body": self.rfile.read(n),
+            }
+            body = b"<html><head><title>up</title></head><body></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        from crawler_pyspider_spark.functions.crawl_api import (
+            CrawlBuilder,
+            builders_to_df,
+        )
+
+        b = CrawlBuilder(f"{base}/upload").set_files(
+            {"doc": ("blob.bin", b"\x00\xfe binary \xff")}
+        ).set_kwargs_kv("data", {"field": "value"})
+        pages = spark.createDataFrame([], "url string, html binary")
+        eng = mk_engine(
+            spark, pages, str(tmp_path / "wh"), RESULT_ONLY, fetch_mode="http"
+        )
+        eng.seed(builders_to_df(spark, [b]))
+        m = eng.run_epoch()
+        assert m["fetched_ok"] == 1
+        got = seen["/upload"]
+        assert got["content_type"].startswith("multipart/form-data; boundary=")
+        bnd = got["content_type"].split("boundary=")[1].encode()
+        assert got["body"].startswith(b"--" + bnd)
+        assert got["body"].endswith(b"--" + bnd + b"--\r\n")
+        assert b'name="field"\r\n\r\nvalue' in got["body"]
+        assert b'filename="blob.bin"' in got["body"]
+        assert b"\x00\xfe binary \xff" in got["body"]  # byte-exact
+    finally:
+        srv.shutdown()
+
+
 def test_http_response_cookies_chain_and_persist(spark, tmp_path):
     """Response-cookie propagation (tornado_fetcher.py:240-252 session
     CookieJar + :429-450 result cookies): a Set-Cookie on a redirect's
