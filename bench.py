@@ -65,7 +65,8 @@ def time_query(fn, spark, sf_dir, reps: int = 3) -> float:
 
 
 def crawl_bench(
-    spark, n_pages: int, n_hosts: int, epochs: int = 3, body_kb: int = 20, show: int = 20
+    spark, n_pages: int, n_hosts: int, epochs: int = 3, body_kb: int = 20,
+    show: int = 20, engine_kwargs: dict | None = None,
 ) -> dict:
     from crawler_pyspider_spark.engine import BENCH_HANDLER, CrawlEngine
     from crawler_pyspider_spark.sources import synth
@@ -110,6 +111,7 @@ def crawl_bench(
         spark, pages, robots, politeness, wh,
         handler=BENCH_HANDLER, loop_limit=10_000_000,
         fetch_join=fetch_join, seen_filter=seen_filter, **seen_kw,
+        **(engine_kwargs or {}),
     )
     eng.seed(synth.gen_seeds(spark, pages, max(n_pages // 2, 100)))
     t0 = time.monotonic()

@@ -1067,7 +1067,14 @@ class CrawlEngine:
             self.project_token_state = FR.update_token_state(
                 self.project_token_state, used_p, now
             )
-        self._apply_changes(selected, caches)  # record leases (W4)
+        # The fetch lease (W4) is NOT folded here: every selected key
+        # gets a status row this epoch (ok ∪ denied ∪ missing partition
+        # the batch), and status_changes neither reads lease_expires nor
+        # keeps it (it clears the lease), so the lease rows ride the ONE
+        # combined fold at the status step below — statuses winning per
+        # key — instead of paying their own eager delta materialization.
+        # An empty batch folds nothing at all (drained epochs previously
+        # re-materialized the whole delta to apply zero changes).
 
         results = follows = None
         if n_selected:
@@ -1185,15 +1192,24 @@ class CrawlEngine:
                     # the batch is under the cap — above it, leave the
                     # join unhinted and let AQE pick the strategy rather
                     # than force an unbounded driver-built broadcast
+                    # non-broadcast paths hint SHUFFLE_HASH with the
+                    # BATCH as build side: the planner's default SMJ
+                    # re-SORTS the fat page side (html payloads) on
+                    # every epoch — measured 1072 task-cpu-seconds per
+                    # 50k-page epoch at the 100k bench world, the single
+                    # largest stage of the leg — while a shuffled hash
+                    # join streams the pages unsorted and builds only
+                    # the ≤ loop_limit-row batch into memory
                     if self.fetch_join == "shuffle":
-                        batch = http_rows  # co-partitioned equi-join
+                        # co-partitioned equi-join (cache is url-hashed)
+                        batch = http_rows.hint("shuffle_hash")
                     elif self.fetch_join == "broadcast":
                         batch = F.broadcast(http_rows)
                     else:
                         batch = (
                             F.broadcast(http_rows)
                             if n_selected <= self.fetch_broadcast_rows
-                            else http_rows
+                            else http_rows.hint("shuffle_hash")
                         )
                     hit_join = page_side.join(
                         batch,
@@ -1445,6 +1461,7 @@ class CrawlEngine:
                 # the handshake task is ephemeral — never tracked
                 # (scheduler.py:232-247 consumes it without a status)
                 nss_pred = nss_pred | (F.col("callback") == "_on_get_info")
+            drop_keys = None
             if nss_keys or self._projects is not None:
                 # @not_send_status: the scheduler never hears about these
                 # tasks; tombstone the ephemeral rows instead of folding
@@ -1453,20 +1470,24 @@ class CrawlEngine:
                     "project", "taskid"
                 )
                 statuses = statuses.filter(~nss_pred)
-                self._apply_changes(
-                    FR.status_changes(
-                        self.frontier, statuses.drop("callback"), now
-                    ),
-                    caches,
-                )
+            # ONE eager fold for the whole epoch tail: lease stamps (W4)
+            # shadowed per-key by the fetch/process outcomes.  The lease
+            # rows only survive for keys with no status row — none by
+            # construction today, but the upsert keeps the invariant
+            # explicit (an async fetcher stage would rely on it).  The
+            # per-key upsert is a small×small shuffle that rides INSIDE
+            # the single delta materialization instead of two.
+            _t = _time.monotonic()
+            combined = FR.upsert(
+                selected.select(*FR.FRONTIER_COLS),
+                FR.status_changes(
+                    self.frontier, statuses.drop("callback"), now
+                ),
+            )
+            self._apply_changes(combined, caches)
+            if drop_keys is not None:
                 self._drop_keys(drop_keys, caches)
-            else:
-                self._apply_changes(
-                    FR.status_changes(
-                        self.frontier, statuses.drop("callback"), now
-                    ),
-                    caches,
-                )
+            m["t_status_fold"] = round(_time.monotonic() - _t, 2)
             _t = _time.monotonic()
             m["robots_denied"] = denied.count()
             m["t_denied"] = round(_time.monotonic() - _t, 2)
@@ -1523,6 +1544,7 @@ class CrawlEngine:
             # to the exact count.
             fr_rows = self._fr_base_rows + delta_live
         m["frontier_compacted"] = bool(compact)
+        m["delta_rows"] = delta_rows
         if self.seen_shards is not None:
             tables["seen_shards"] = self.seen_shards
         if self.project_token_state is not None:

@@ -482,13 +482,24 @@ def select_batch(
         (F.col("ready_cnt") > F.col("_budget")) & (F.col("_budget") > 0)
     )
 
+    # Light contended hosts (ready_cnt ≤ salt_threshold) rank in ONE
+    # exact per-host window; only HEAVY hosts pay the two-phase salted
+    # plan.  Routing light hosts through phase 1 with _salt=0 and then
+    # re-windowing them in phase 2 was an identity re-rank — one extra
+    # exchange+sort over every survivor row for nothing (the common
+    # case: politeness budgets are small, few hosts are ever heavy).
+    heavy = F.col("ready_cnt") > salt_threshold
+    w2 = Window.partitionBy("project", "host").orderBy(*order)
+    light_ranked = (
+        binding.filter(~heavy)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= F.col("_budget"))
+        .drop("_rn")
+    )
+
     # phase 1 — salted pre-rank for heavy contended hosts only
-    salted = binding.withColumn(
-        "_salt",
-        F.when(
-            F.col("ready_cnt") > salt_threshold,
-            F.pmod(F.xxhash64("taskid"), F.lit(n_salts)),
-        ).otherwise(F.lit(0)),
+    salted = binding.filter(heavy).withColumn(
+        "_salt", F.pmod(F.xxhash64("taskid"), F.lit(n_salts))
     )
     w1 = Window.partitionBy("project", "host", "_salt").orderBy(*order)
     phase1 = salted.withColumn("_rn1", F.row_number().over(w1)).filter(
@@ -496,13 +507,12 @@ def select_batch(
     )
 
     # phase 2 — exact per-host rank over the (≤ n_salts·budget) survivors
-    w2 = Window.partitionBy("project", "host").orderBy(*order)
     ranked = (
         phase1.withColumn("_rn2", F.row_number().over(w2))
         .filter(F.col("_rn2") <= F.col("_budget"))
         .drop("_salt", "_rn1", "_rn2")
     )
-    per_host = nonbinding.unionByName(ranked)
+    per_host = nonbinding.unionByName(light_ranked).unionByName(ranked)
 
     # per-project quota (W3) then global LOOP_LIMIT cap (T2)
     if n_projects == 1 and total_ready is not None:

@@ -186,5 +186,9 @@ def test_release_caches_no_growth_across_reps(spark):
         q_dup_spans(spark, SF).count()
         Q.q_crawl_reachability(spark, SF).count()
         Q.release_caches()
-    assert n_persistent() == base
+    # <= base, not ==: an EARLIER test's asynchronously-draining
+    # unpersist can land between the base snapshot and here, dropping
+    # the count below base (observed order-flake in the full suite);
+    # growth is the leak this test guards against
+    assert n_persistent() <= base
     assert Q._CACHES == []

@@ -31,11 +31,7 @@ def main():
         "throughput_urls_per_sec": round(res["throughput_urls_per_sec"], 1),
         "epoch_secs": res["epoch_secs"],
         "wall_total": round(time.monotonic() - t0, 2),
-        "epoch_metrics": [
-            {k: v for k, v in m.items()
-             if k.startswith("t_") or k in ("epoch", "ingested", "selected")}
-            for m in res["epoch_metrics"]
-        ],
+        "epoch_metrics": res["epoch_metrics"],
     }
     spark.stop()
     print(json.dumps(out))
