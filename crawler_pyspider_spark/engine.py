@@ -431,9 +431,10 @@ class CrawlEngine:
         # to the eager-upsert frontier of rounds 1-3, but each epoch now
         # writes/shuffles O(delta) instead of O(frontier): at a 10^10-row
         # frontier an epoch that touches 10^5 tasks costs 10^5, not
-        # 10^10.  The base is rewritten (compaction) only when the delta
-        # outgrows ``max(frontier_compact_min_rows,
-        # frontier_compact_ratio · base_rows)``.
+        # 10^10.  The base is rewritten (compaction) when it is small
+        # (``base_rows ≤ frontier_compact_min_rows`` — rewriting a small
+        # base is cheaper than delta bookkeeping) or when the delta
+        # reaches ``frontier_compact_ratio · base_rows``.
         self.frontier_compact_min_rows = frontier_compact_min_rows
         self.frontier_compact_ratio = frontier_compact_ratio
         self._fr_base: DataFrame = FR.empty_frontier(spark)
@@ -1518,14 +1519,23 @@ class CrawlEngine:
             ).alias("n_live"),
         ).collect()[0]  # checkpointed — one cheap O(delta) job
         delta_rows, delta_live = int(drow["n"]), int(drow["n_live"])
+        # Compaction cost is O(base), so the policy gates on BASE size:
+        # a frontier at or below ``frontier_compact_min_rows`` always
+        # compacts (rewriting a small base costs less than the delta
+        # machinery it would avoid — the growth regime is copy-on-write
+        # by construction), and a large base compacts only when the
+        # delta reaches ``frontier_compact_ratio`` of it (the steady
+        # state commits O(touched)).  The previous policy floored the
+        # DELTA at min_rows, which blocked compaction exactly where it
+        # is cheapest: a 50k-row base sat behind a 49 997-row delta
+        # (delta ≈ 1.0·base) because the delta missed the floor by 3
+        # rows, while a 10^10-row base would never be protected by a
+        # constant floor anyway.
         compact = (
             self._force_compact
             or self._fr_base_epoch < 0
-            or delta_rows
-            >= max(
-                self.frontier_compact_min_rows,
-                int(self.frontier_compact_ratio * self._fr_base_rows),
-            )
+            or self._fr_base_rows <= self.frontier_compact_min_rows
+            or delta_rows >= int(self.frontier_compact_ratio * self._fr_base_rows)
         )
         tables = {"token_state": self.token_state}
         fr_rows: int | None = None

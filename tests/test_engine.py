@@ -240,8 +240,10 @@ def test_compaction_policy_state_invariant(spark, small_world, tmp_path):
     )
     states = {}
     for name, kw in (
-        ("always", dict(frontier_compact_min_rows=0, frontier_compact_ratio=0.0)),
-        ("never", dict(frontier_compact_min_rows=10**9, frontier_compact_ratio=1e9)),
+        ("always", dict(frontier_compact_min_rows=10**9, frontier_compact_ratio=0.0)),
+        # min_rows=0: no base is "small enough to always compact";
+        # ratio=1e9: the delta never reaches the threshold — delta-only
+        ("never", dict(frontier_compact_min_rows=0, frontier_compact_ratio=1e9)),
     ):
         eng = CrawlEngine(
             spark, small_world["pages"], small_world["robots"],

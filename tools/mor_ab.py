@@ -34,11 +34,19 @@ def main():
         extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"},
     )
     variants = {
-        "mor": {},  # shipped defaults: delta commits, threshold compaction
+        # shipped defaults: small bases always compact (growth regime is
+        # copy-on-write), large bases commit deltas until ratio·base
+        "mor": {},
+        # pure copy-on-write: every epoch rewrites the full frontier
         "cow": {"frontier_compact_min_rows": 0, "frontier_compact_ratio": 0.0},
+        # pure merge-on-read: delta-only commits after the first base
+        "delta": {"frontier_compact_min_rows": 0,
+                  "frontier_compact_ratio": 1e18},
     }
+    order = (sys.argv[2].split(",") if len(sys.argv) > 2
+             else ["mor", "cow", "cow", "mor"])
     legs = []
-    for name in ("mor", "cow", "cow", "mor"):
+    for name in order:
         r = crawl_bench(spark, n_pages, n_hosts, engine_kwargs=variants[name])
         legs.append({
             "variant": name,
@@ -46,24 +54,22 @@ def main():
             "throughput_urls_per_sec": round(r["throughput_urls_per_sec"], 1),
             "epoch_secs": r["epoch_secs"],
         })
+    ran = sorted({l["variant"] for l in legs})
     best = {
         v: max(
             (l for l in legs if l["variant"] == v),
             key=lambda l: l["throughput_urls_per_sec"],
         )
-        for v in variants
+        for v in ran
     }
-    out = {
-        "n_pages": n_pages,
-        "cpus": cpus,
-        "legs": legs,
-        "best": best,
-        "mor_over_cow": round(
-            best["mor"]["throughput_urls_per_sec"]
-            / best["cow"]["throughput_urls_per_sec"],
+    out = {"n_pages": n_pages, "cpus": cpus, "legs": legs, "best": best}
+    if len(ran) == 2:
+        a, b = ran
+        out[f"{a}_over_{b}"] = round(
+            best[a]["throughput_urls_per_sec"]
+            / best[b]["throughput_urls_per_sec"],
             3,
-        ),
-    }
+        )
     spark.stop()
     print(json.dumps(out))
 
