@@ -227,6 +227,40 @@ def test_fetch_join_modes_equivalent(spark, small_world, tmp_path):
         assert got == ref, f"fetch_join={mode} diverged"
 
 
+def test_drained_epoch_folds_nothing(spark, small_world, tmp_path):
+    """An epoch that selects nothing must not touch the frontier delta:
+    the round-4 engine re-materialized the whole delta to apply an
+    empty lease fold, making drained-epoch cost scale with delta size.
+    Run to exhaustion, then assert an extra epoch leaves the delta
+    OBJECT identical (no fold ran) and state unchanged."""
+    eng = CrawlEngine(
+        spark, small_world["pages"], small_world["robots"],
+        small_world["politeness"], str(tmp_path / "wh"), loop_limit=100000,
+        # keep the frontier on the delta path so an accidental fold
+        # would be visible (base stays small enough to always-compact
+        # under defaults, which would mask the object-identity check)
+        frontier_compact_min_rows=0, frontier_compact_ratio=1e9,
+    )
+    eng.seed(small_world["seeds"])
+    ms = eng.run(10)
+    drained = [m for m in ms if m["selected"] == 0]
+    assert drained, "world did not drain in 10 epochs"
+    sig = sorted(
+        (r.taskid, r.status, r.retried)
+        for r in eng.frontier.select("taskid", "status", "retried").collect()
+    )
+    m = eng.run_epoch()
+    assert m["selected"] == 0
+    # no select ⇒ no lease/status fold; the delta row count at commit
+    # must not move (an ingest of zero pending rows folds nothing too)
+    assert m["delta_rows"] == drained[-1]["delta_rows"]
+    sig2 = sorted(
+        (r.taskid, r.status, r.retried)
+        for r in eng.frontier.select("taskid", "status", "retried").collect()
+    )
+    assert sig2 == sig
+
+
 def test_compaction_policy_state_invariant(spark, small_world, tmp_path):
     """Merge-on-read bookkeeping must be invisible to crawl semantics:
     compacting every epoch (min_rows=0, ratio=0) and never compacting
