@@ -120,6 +120,20 @@ def _filter_tier_section(repo: str) -> str:
         for i, p in enumerate(ft["tier_pairs"])
     )
     cp = ft["cuckoo_scaling_pair"]
+    # drained-epoch select cost across every leg (last epoch selects a
+    # handful of retries out of the ~1M-row frontier)
+    legs = [p[v] for p in ft["tier_pairs"] for v in ("exact", "cuckoo")]
+    legs += [cp[str(LO)], cp[str(HI)]]
+    dsel = sorted(
+        m["t_select"]
+        for leg in legs
+        for m in (leg.get("epoch_metrics") or [])[-1:]
+        if "t_select" in m
+    )
+    _drained_selects = (
+        f"{dsel[0]:.1f}–{dsel[-1]:.1f} (median "
+        f"{dsel[len(dsel) // 2]:.1f})" if dsel else "n/a"
+    )
     return f"""
 
 ## Seen-filter tier cost + cuckoo-path scaling (`tools/filter_tier_bench.py`)
@@ -147,12 +161,21 @@ The tier wins when frontier_rows × bytes/row no longer fits the shuffle
 budget — the 10^10 sizing in operators/cuckoo.py's module doc — while
 the probe pass stays O(batch).
 
-Note: these legs (and the cuckoo pair below) ran the ROUND-4 engine
-(merge-on-read frontier — commits write O(touched tasks), not
-O(frontier)), so absolute urls/s here exceed the round-3 headline
-table above, which is kept as-is: its 5-pair occupancy median is a
-protocol result the engine change does not invalidate, and the fresh
-pair below re-confirms plan occupancy (≈1.0) on the shipped engine.
+Note: these legs (and the cuckoo pair below) ran the merge-on-read
+engine (round 4+: commits write O(touched tasks), not O(frontier)).
+Absolute urls/s swing with the VM's host-weather band (the round-4
+file recorded 165k exact in a fast window; this run's window was
+slower) — judge the RATIOS, which each pair measures under matched
+host state; the round-3 headline table above is kept as-is because its
+5-pair occupancy median is a protocol result the engine change does
+not invalidate, and the fresh pair below re-confirms plan occupancy
+(≈1.0) on the shipped engine.
+
+Drained-epoch fixed cost (the steady-state property merge-on-read
+exists for): selecting 120 ready rows out of a ~1M-row frontier costs
+{_drained_selects} s t_select across these legs vs 22–24 s when every
+epoch re-aggregated the full frontier — select cost scales with
+touched volume, not pending volume.
 
 Cuckoo-path N-vs-4N (same paired protocol):
 **{cp[str(LO)]['throughput_urls_per_sec']:.0f} urls/s @ local[{LO}]** /
@@ -160,6 +183,68 @@ Cuckoo-path N-vs-4N (same paired protocol):
 raw efficiency {cp['efficiency']}, plan-occupancy efficiency
 {cp['occupancy_efficiency']}.
 """
+
+
+def _regime_section(repo: str) -> str:
+    """Fold the growth-vs-steady-state frontier-commit evidence
+    (tools/mor_ab.py alternating legs + the committed clean-window
+    driver bench) into the report."""
+    path = f"{repo}/BENCH/mor_ab_growth.json"
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        ab = json.load(f)
+    rows = "\n".join(
+        f"| {i + 1} | {l['variant']} | {l['elapsed_sec']} "
+        f"| {l['throughput_urls_per_sec']:,.0f} |"
+        for i, l in enumerate(ab["legs"])
+    )
+    clean = ""
+    cpath = f"{repo}/BENCH/driver_bench_r5_clean.json"
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            cb = json.load(f)
+        runs = cb["crawl"]["runs_raw_then_warm"]
+        clean = (
+            f"\nA committed clean-window driver bench run "
+            f"(`BENCH/driver_bench_r5_clean.json`) anchors the protocol: "
+            f"crawl_3epochs {runs[1]['elapsed_sec']} s warm / "
+            f"{runs[0]['elapsed_sec']} s raw, "
+            f"{cb['value']:,.0f} urls/s headline — identical-commit legs "
+            f"minutes apart measured 3–5× slower, so per-round driver "
+            f"numbers must be read against this anchor plus the noise "
+            f"band, not in isolation.\n"
+        )
+    return f"""
+
+## Frontier commit regimes: growth vs steady state (`tools/mor_ab.py`)
+
+The driver bench (100k pages, 3 epochs from a half-world seed burst,
+disk warehouse, no warmup) is a **growth-regime** measurement: every
+epoch's touched set is comparable to the whole frontier, so there is no
+small-delta steady state for merge-on-read to exploit.  Alternating
+same-session legs at exactly that protocol (committed
+`BENCH/mor_ab_growth.json`; mor = the round-4 threshold policy,
+cow = compact every epoch):
+
+| leg | variant | elapsed s | urls/s |
+|---|---|---|---|
+{rows}
+
+Read PAIRED (legs 1+2 → mor/cow 0.44; legs 3+4 → 1.50; median ≈ 0.97):
+the two regimes are at **parity within this VM's ~3× weather band** at
+the growth world size — but the leg detail exposed a policy bug: the
+round-4 rule floored the DELTA at 50k rows, which blocked compaction
+exactly where it is cheapest (epoch 1 sat on a 49,997-row delta over a
+50,000-row base — delta ≈ 1.0·base — because it missed the floor by 3
+rows, then paid merge-on-read view overhead all epoch).  The shipped
+policy gates on BASE size: a base ≤ 50k rows always compacts (the
+growth regime is copy-on-write by construction, since rewriting a
+small base costs less than the delta bookkeeping it avoids), and a
+large base commits O(delta) until the delta reaches 0.2·base — the
+steady-state regime the filter-tier section above measures directly
+(see its drained-epoch select costs at the 1M world).
+{clean}"""
 
 
 def main() -> None:
@@ -405,6 +490,7 @@ under the host quota plus ~7 s/epoch of driver planning (constant per
 epoch, amortized by batch size at cluster scale), not plan shape.
 """
     md += _filter_tier_section(REPO)
+    md += _regime_section(REPO)
     md += f"""
 
 Caveats: single-JVM local mode shares one driver and one shuffle
