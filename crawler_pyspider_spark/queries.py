@@ -1684,6 +1684,96 @@ def q_domain_coverage(spark, sf_dir):
     )
 
 
+CONTAM_K = DUP_SPAN_K  # n-gram width for contamination checks
+CONTAM_EVAL_MOD = 13  # doc_id % MOD == 0 plays the held-out eval set
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination detection — the decontamination op every
+    LLM training pipeline runs before training (n-gram overlap between
+    the training corpus and held-out eval sets; the GPT-3 appendix /
+    Dolma decontamination recipe): flag training docs sharing any
+    verbatim 8-gram with an eval doc.
+
+    The eval set here is deterministic (doc_id % 13 == 0) so the query
+    is self-contained over the synthetic documents table.  Plan: shingle
+    → md5 → distinct (doc, h) once for BOTH sides, split, then join the
+    train side against the BROADCAST eval n-gram set and aggregate per
+    train doc.  At 100 TB the eval side is benchmarks (≤ ~10^6 n-grams)
+    — it broadcasts (or becomes a bloom filter pushed into the scan)
+    while the train side stays a map-side explode + hash join, no
+    shuffle of token volume.  Unlike dup_spans, NO sampling: a
+    contamination miss poisons evals, so every n-gram is checked."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text"), CONTAM_K).alias("sh")
+    )
+    ex = d.select(
+        "doc_id", F.explode(F.transform(F.col("sh"), F.md5)).alias("h")
+    ).distinct()
+    is_eval = F.col("doc_id") % CONTAM_EVAL_MOD == 0
+    ev = ex.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "h")
+    tr = ex.filter(~is_eval)
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").cast("long").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc").cast("long").alias("n_eval_docs"),
+        )
+    )
+
+
+SEQ_PACK_BIN = 8192  # tokens per training sequence bin
+SEQ_PACK_BUCKET = 1000  # doc_ids per range bucket (prefix-sum sharding)
+
+
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing for training: assign docs (in doc_id order) to
+    fixed-size token bins — bin = floor(tokens_before / 8192) — the
+    greedy concat-and-slice packing data loaders use.
+
+    A naive global cumulative window is a SINGLE-PARTITION sort; this
+    plan shards the prefix sum: per-range-bucket token totals (dim-
+    sized) are collected once, their running offsets are broadcast back
+    as a literal map, and each bucket computes its local cumulative sum
+    independently — the standard two-phase distributed prefix-sum, so
+    the heavy window is per-bucket, never global."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("_bucket", (F.col("doc_id") / SEQ_PACK_BUCKET).cast("long"))
+    )
+    totals = (
+        d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+        .orderBy("_bucket")
+        .collect()  # dim-sized: one row per 1000 docs
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_bucket"]] = acc
+        acc += r["_tot"]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_bucket"),
+    )
+    w = Window.partitionBy("_bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (off + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            / SEQ_PACK_BIN
+        ).cast("long").alias("bin"),
+    )
+
+
 # ===========================================================================
 # registry + oracle SQL
 # ===========================================================================
@@ -1756,6 +1846,8 @@ QUERIES = {
     "host_parse": q_host_parse,
     "json_extract": q_json_extract,
     "cron_due": q_cron_due,
+    "contamination": q_contamination,
+    "seq_pack": q_seq_pack,
 }
 
 
@@ -2747,5 +2839,40 @@ ORACLE_SQL = {
         SELECT source, n_hosts, n_docs, top_host_docs,
                top_host_docs * 1000 // n_docs AS top_share_milli
         FROM a
+    """,
+    "contamination": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {CONTAM_K} THEN
+                       list_transform(range(1, len(t) - {CONTAM_K - 2}),
+                           i -> array_to_string(t[i:i+{CONTAM_K - 1}], ' '))
+                   ELSE [array_to_string(t, ' ')] END AS spans
+            FROM toks
+        ), ex AS (
+            SELECT DISTINCT doc_id, md5(s) AS h
+            FROM (SELECT doc_id, unnest(spans) AS s FROM sh)
+        ), ev AS (
+            SELECT doc_id AS eval_doc, h FROM ex
+            WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+        ), tr AS (
+            SELECT doc_id, h FROM ex WHERE doc_id % {CONTAM_EVAL_MOD} <> 0
+        )
+        SELECT tr.doc_id,
+               CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared_ngrams,
+               CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+        FROM tr JOIN ev USING (h)
+        GROUP BY 1
+    """,
+    "seq_pack": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(
+                   SUM(len(string_split(text, ' '))) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {SEQ_PACK_BIN} AS BIGINT) AS bin
+        FROM documents
     """,
 }

@@ -192,3 +192,46 @@ def test_release_caches_no_growth_across_reps(spark):
     # growth is the leak this test guards against
     assert n_persistent() <= base
     assert Q._CACHES == []
+
+
+def test_seq_pack_bins_are_contiguous_and_exact(spark):
+    """Sequence packing: bin ids must equal floor(tokens_before/8192)
+    over doc_id order — verified against a driver-side replay — and be
+    monotone non-decreasing in doc_id (the sharded two-phase prefix sum
+    must be indistinguishable from a global one)."""
+    from crawler_pyspider_spark.queries import SEQ_PACK_BIN, q_seq_pack
+
+    rows = q_seq_pack(spark, SF).orderBy("doc_id").collect()
+    assert rows
+    acc = 0
+    prev_bin = 0
+    for r in rows:
+        assert r["bin"] == acc // SEQ_PACK_BIN, r
+        assert r["bin"] >= prev_bin
+        prev_bin = r["bin"]
+        acc += r["n_tokens"]
+
+
+def test_contamination_flags_planted_eval_overlap(spark, tmp_path):
+    """A train doc sharing a verbatim 8-gram with an eval doc
+    (doc_id % 13 == 0) is flagged with the right counts; disjoint
+    docs are not flagged."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from crawler_pyspider_spark.queries import q_contamination
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (13, f"EVAL one {span} tail words here", "s"),
+            (26, "EVAL two totally different content no overlap x y", "s"),
+            (1, f"train doc leading {span} trailing text", "s"),
+            (2, "clean train doc with nothing shared at all z", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_contamination(spark, out).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_shared_ngrams"] == 1 and got[1]["n_eval_docs"] == 1

@@ -50,6 +50,12 @@ AUDIT = [
     # round 4: substring dedup — winnowed sample then DF-capped bucket
     # join; the pair agg must be a hash agg, the join an equi-join on h
     ("dup_spans", ["HashAggregate", "Join"]),
+    # round 5: decontamination (eval n-gram set must BROADCAST — the
+    # train side never shuffles token volume) + sequence packing (the
+    # prefix-sum window must be per-bucket, never a global sort: no
+    # single-partition Exchange)
+    ("contamination", ["BroadcastHashJoin", "HashAggregate"]),
+    ("seq_pack", ["Window"]),
 ]
 
 
