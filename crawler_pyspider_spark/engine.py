@@ -504,13 +504,23 @@ class CrawlEngine:
 
         First fold after a compaction/reset skips the upsert entirely:
         ``changes`` is unique per key, so it IS the delta — the union +
-        max_by shuffle would merge against a frame known to be empty."""
-        live = changes.withColumn("_live", F.lit(True)).select(*self.DELTA_COLS)
-        if self._fr_delta_empty:
-            self._fr_delta = live.localCheckpoint(eager=True)
+        max_by shuffle would merge against a frame known to be empty.
+
+        ``changes`` may be a LIST of precedence-ordered layers (later
+        wins per key, e.g. [lease stamps, fetch statuses]): all layers
+        and the existing delta resolve in ONE max_by shuffle
+        (upsert_layers) instead of one shuffle per layer."""
+        layers = changes if isinstance(changes, list) else [changes]
+        live = [
+            c.withColumn("_live", F.lit(True)).select(*self.DELTA_COLS)
+            for c in layers
+        ]
+        if self._fr_delta_empty and len(live) == 1:
+            self._fr_delta = live[0].localCheckpoint(eager=True)
         else:
-            self._fr_delta = FR.upsert(
-                self._fr_delta, live, cols=self.DELTA_COLS
+            frames = ([] if self._fr_delta_empty else [self._fr_delta]) + live
+            self._fr_delta = FR.upsert_layers(
+                frames, cols=self.DELTA_COLS
             ).localCheckpoint(eager=True)
         self._fr_delta_empty = False
         self._rebuild_view()
@@ -1474,18 +1484,20 @@ class CrawlEngine:
             # ONE eager fold for the whole epoch tail: lease stamps (W4)
             # shadowed per-key by the fetch/process outcomes.  The lease
             # rows only survive for keys with no status row — none by
-            # construction today, but the upsert keeps the invariant
-            # explicit (an async fetcher stage would rely on it).  The
-            # per-key upsert is a small×small shuffle that rides INSIDE
-            # the single delta materialization instead of two.
+            # construction today, but the layered upsert keeps the
+            # invariant explicit (an async fetcher stage would rely on
+            # it).  delta + lease + status resolve in a single max_by
+            # shuffle inside the one delta materialization.
             _t = _time.monotonic()
-            combined = FR.upsert(
-                selected.select(*FR.FRONTIER_COLS),
-                FR.status_changes(
-                    self.frontier, statuses.drop("callback"), now
-                ),
+            self._apply_changes(
+                [
+                    selected.select(*FR.FRONTIER_COLS),
+                    FR.status_changes(
+                        self.frontier, statuses.drop("callback"), now
+                    ),
+                ],
+                caches,
             )
-            self._apply_changes(combined, caches)
             if drop_keys is not None:
                 self._drop_keys(drop_keys, caches)
             m["t_status_fold"] = round(_time.monotonic() - _t, 2)

@@ -329,11 +329,25 @@ def upsert(
 
     ``cols`` overrides the column list (default FRONTIER_COLS) — the
     engine's delta carries an extra ``_live`` tombstone flag."""
+    return upsert_layers([frontier, changes], cols)
+
+
+def upsert_layers(
+    frames: list[DataFrame], cols: list[str] | None = None
+) -> DataFrame:
+    """N-layer latest-wins MERGE in ONE shuffle: ``frames[i+1]`` takes
+    precedence over ``frames[i]`` per (project, taskid).  Each frame
+    must be unique per key (the pairwise-``upsert`` precondition); the
+    union is tagged with the layer index and resolved by a single
+    ``max_by`` aggregation — chaining pairwise upserts instead would
+    pay one shuffle per layer for the same result."""
     cols = cols or FRONTIER_COLS
     payload = [c for c in cols if c not in ("project", "taskid")]
-    tagged = frontier.withColumn("_prec", F.lit(0)).unionByName(
-        changes.withColumn("_prec", F.lit(1))
-    )
+    tagged = frames[0].select(*cols).withColumn("_prec", F.lit(0))
+    for i, fr in enumerate(frames[1:], start=1):
+        tagged = tagged.unionByName(
+            fr.select(*cols).withColumn("_prec", F.lit(i))
+        )
     agg = tagged.groupBy("project", "taskid").agg(
         F.max_by(F.struct(*payload), F.col("_prec")).alias("_r")
     )

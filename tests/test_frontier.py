@@ -472,3 +472,42 @@ def test_with_global_rank_scalable_path_matches_window(spark):
     assert a == b
     ranks = [rk for _, rk in sorted(a)]
     assert ranks == sorted(ranks) and ranks[0] == 1 and ranks[-1] == 500
+
+
+def test_upsert_layers_precedence_single_shuffle(spark):
+    """upsert_layers: later layers win per key; result equals the
+    chained pairwise upserts; the plan has exactly ONE exchange (the
+    point of fusing the layers)."""
+    def frame(rows):
+        base = FR.empty_frontier(spark)
+        cols = dict.fromkeys(FR.FRONTIER_COLS)
+        out = spark.createDataFrame(
+            [(p, t) for p, t, _ in rows], "project string, taskid string"
+        )
+        for c, dt in base.dtypes:
+            if c in ("project", "taskid"):
+                continue
+            out = out.withColumn(c, F.lit(None).cast(dt))
+        pri = {(p, t): pr for p, t, pr in rows}
+        out = out.withColumn(
+            "priority",
+            F.udf(lambda p, t: pri[(p, t)], "int")("project", "taskid"),
+        )
+        return out.select(*FR.FRONTIER_COLS)
+
+    a = frame([("p", "k1", 1), ("p", "k2", 1)])
+    b = frame([("p", "k2", 2), ("p", "k3", 2)])
+    c = frame([("p", "k3", 3), ("p", "k4", 3)])
+    fused = FR.upsert_layers([a, b, c])
+    chained = FR.upsert(FR.upsert(a, b), c)
+    key = lambda df: sorted(  # noqa: E731
+        (r["taskid"], r["priority"]) for r in df.collect()
+    )
+    assert key(fused) == key(chained)
+    assert key(fused) == [("k1", 1), ("k2", 2), ("k3", 3), ("k4", 3)]
+    # fewer exchanges than the chained form (one merge shuffle total vs
+    # one per pairwise upsert; absolute counts include the fixture's
+    # own exchanges, so compare the two plans)
+    n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString(  # noqa: E731
+    ).count("Exchange")
+    assert n_ex(fused) < n_ex(chained)
