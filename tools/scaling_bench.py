@@ -205,11 +205,12 @@ def _regime_section(repo: str) -> str:
         with open(cpath) as f:
             cb = json.load(f)
         runs = cb["crawl"]["runs_raw_then_warm"]
+        legs_s = " / ".join(f"{r['elapsed_sec']} s" for r in runs)
         clean = (
             f"\nA committed clean-window driver bench run "
             f"(`BENCH/driver_bench_r5_clean.json`) anchors the protocol: "
-            f"crawl_3epochs {runs[1]['elapsed_sec']} s warm / "
-            f"{runs[0]['elapsed_sec']} s raw, "
+            f"crawl_3epochs best {cb['crawl']['elapsed_sec']} s "
+            f"(two post-warmup legs: {legs_s}), "
             f"{cb['value']:,.0f} urls/s headline — identical-commit legs "
             f"minutes apart measured 3–5× slower, so per-round driver "
             f"numbers must be read against this anchor plus the noise "
