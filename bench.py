@@ -283,7 +283,7 @@ def main() -> None:
             "n_hosts": n_hosts,
             "urls_scheduled_deduped": crawl["urls_scheduled_deduped"],
             "elapsed_sec": round(crawl["elapsed_sec"], 2),
-            "runs_raw_then_warm": [
+            "timed_legs": [
                 {
                     "elapsed_sec": round(r["elapsed_sec"], 2),
                     "throughput_urls_per_sec": round(

@@ -204,7 +204,7 @@ def _regime_section(repo: str) -> str:
     if os.path.exists(cpath):
         with open(cpath) as f:
             cb = json.load(f)
-        runs = cb["crawl"]["runs_raw_then_warm"]
+        runs = cb["crawl"].get("timed_legs") or cb["crawl"]["runs_raw_then_warm"]
         legs_s = " / ".join(f"{r['elapsed_sec']} s" for r in runs)
         clean = (
             f"\nA committed clean-window driver bench run "
